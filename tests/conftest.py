@@ -1,0 +1,93 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware the JAX-native way —
+``xla_force_host_platform_device_count`` fakes 8 devices on the host (the
+reference has no distributed tests at all; SURVEY §4).
+Env vars must be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+import pytest
+
+import jax
+
+# this jax build's CPU backend defaults to TPU-like bf16 matmul passes —
+# parity vs torch fp32 needs true fp32 accumulation
+jax.config.update("jax_default_matmul_precision", "highest")
+
+REFERENCE_PATH = "/root/reference"
+
+
+def _stub_torchvision():
+    """torchvision/torchaudio are not in this image; the reference only needs
+    them at module-import time (dino.py:9, es_vit.py:8, lejepa.py:9,
+    vaat.py:11).  Stub enough surface for imports to succeed."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        transforms = types.ModuleType("torchvision.transforms")
+
+        class _Any:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        for name in (
+            "Compose",
+            "RandomApply",
+            "ColorJitter",
+            "RandomGrayscale",
+            "RandomHorizontalFlip",
+            "GaussianBlur",
+            "RandomResizedCrop",
+            "Normalize",
+            "RandomSolarize",
+        ):
+            setattr(transforms, name, _Any)
+        tv.transforms = transforms
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = transforms
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+        tat = types.ModuleType("torchaudio.transforms")
+
+        class Spectrogram:
+            def __init__(self, *a, **k):
+                pass
+
+        tat.Spectrogram = Spectrogram
+        ta.transforms = tat
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.transforms"] = tat
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Import the PyTorch reference package for parity tests."""
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    _stub_torchvision()
+    import vit_pytorch
+
+    return vit_pytorch
+
+
+@pytest.fixture(scope="session")
+def torch():
+    import torch as _torch
+
+    _torch.manual_seed(0)
+    return _torch

@@ -1,0 +1,85 @@
+"""ViT for video tubelets (reference vit_3d.py:77-126)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..nn.blocks import Transformer, LN_EPS
+from ..nn.patch import PatchEmbedding, patchify_3d
+from ..utils.helpers import pair
+
+
+class ViT(nn.Module):
+    """reference vit_3d.py:77 — same keyword constructor."""
+
+    image_size: int | tuple
+    image_patch_size: int | tuple
+    frames: int
+    frame_patch_size: int
+    num_classes: int
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    pool: str = "cls"
+    channels: int = 3
+    dim_head: int = 64
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+    flash: Optional[bool] = None
+
+    def setup(self):
+        image_height, image_width = pair(self.image_size)
+        patch_height, patch_width = pair(self.image_patch_size)
+        assert image_height % patch_height == 0 and image_width % patch_width == 0
+        assert self.frames % self.frame_patch_size == 0
+        assert self.pool in {"cls", "mean"}
+
+        self.patch_hw = (patch_height, patch_width)
+        self.num_patches = (
+            (image_height // patch_height)
+            * (image_width // patch_width)
+            * (self.frames // self.frame_patch_size)
+        )
+
+        self.patch_embedding = PatchEmbedding(dim=self.dim)
+        self.pos_embedding = self.param(
+            "pos_embedding",
+            nn.initializers.normal(1.0),
+            (1, self.num_patches + 1, self.dim),
+        )
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.normal(1.0), (1, 1, self.dim)
+        )
+        self.emb_drop = nn.Dropout(self.emb_dropout)
+        self.transformer = Transformer(
+            dim=self.dim,
+            depth=self.depth,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            final_norm=False,
+            flash=self.flash,
+        )
+        self.head_norm = nn.LayerNorm(epsilon=LN_EPS, name="head_norm")
+        self.mlp_head = nn.Dense(self.num_classes, name="mlp_head")
+
+    def patchify(self, video):
+        return patchify_3d(video, self.frame_patch_size, *self.patch_hw)
+
+    def __call__(self, video, *, train: bool = False):
+        x = self.patch_embedding(self.patchify(video))
+        b, n, _ = x.shape
+
+        cls = jnp.broadcast_to(self.cls_token, (b, 1, self.dim)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embedding[:, : n + 1].astype(x.dtype)
+        x = self.emb_drop(x, deterministic=not train)
+
+        x = self.transformer(x, train=train)
+        x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
+        return self.mlp_head(self.head_norm(x))

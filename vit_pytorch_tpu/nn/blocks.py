@@ -1,0 +1,326 @@
+"""Shared transformer block library — the factored-out L2 of the reference.
+
+The reference deliberately copy-pastes ``Attention`` / ``FeedForward`` /
+``Transformer`` into nearly every model file with small deltas (SURVEY §2.6;
+compare reference vit.py:30-64, simple_vit.py:37-62, na_vit.py:115-169).
+Here the deltas become options on ONE set of Flax modules, so every variant
+shares the same Pallas/XLA attention core.
+
+Parity notes (matching torch defaults so converted weights reproduce logits):
+  - LayerNorm eps 1e-5 (torch default), with weight+bias.
+  - GELU is the exact (erf) form — torch ``nn.GELU()`` default (vit.py:21).
+  - Linear layers: torch weight (out,in) ↔ flax kernel (in,out).
+
+Attention recording (reference recorder.py:10-59 hooks the softmax): when the
+caller makes the ``'intermediates'`` collection mutable
+(``model.apply(..., mutable=['intermediates'])``) attention switches to the
+materialized-softmax XLA path and ``sow``s the post-softmax matrix — the
+jit-safe equivalent of a forward hook.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.attention import dot_product_attention
+from ..utils.helpers import default, exists
+
+# torch parity defaults
+LN_EPS = 1e-5
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with torch-default epsilon; optional bias (na_vit.py:82-90)."""
+
+    use_bias: bool = True
+    eps: float = LN_EPS
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.eps, use_bias=self.use_bias, name="ln")(x)
+
+
+class RMSNorm(nn.Module):
+    """Per-head RMSNorm with learned gamma (reference na_vit.py:93-103).
+
+    gamma has shape (heads, 1, dim) and the norm multiplies by sqrt(dim).
+    """
+
+    heads: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.heads, 1, self.dim))
+        normed = x * jax.lax.rsqrt(
+            jnp.sum(jnp.square(x), axis=-1, keepdims=True) + 1e-12
+        )
+        return normed * gamma * (self.dim**0.5)
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+_ACTIVATIONS: dict[str, Callable] = {
+    "gelu": gelu_exact,
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "silu": jax.nn.silu,
+    "relu": jax.nn.relu,
+    "hardswish": jax.nn.hard_swish,
+}
+
+
+class FeedForward(nn.Module):
+    """LN → Linear → act → Dropout → Linear → Dropout (reference vit.py:15-28).
+
+    ``glu=True`` gives the GEGLU variant (reference rvt.py:75-92).
+    ``pre_norm=False`` drops the leading LN (simple_vit.py:37-48 has LN; some
+    conv variants norm outside).
+    """
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    glu: bool = False
+    pre_norm: bool = True
+    use_bias: bool = True
+    norm_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        act = _ACTIVATIONS[self.activation]
+        if self.pre_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, use_bias=self.norm_bias, name="norm")(x)
+        if self.glu:
+            xg = nn.Dense(self.hidden_dim * 2, use_bias=self.use_bias, name="fc1")(x)
+            x, gate = jnp.split(xg, 2, axis=-1)
+            x = x * act(gate)
+        else:
+            x = nn.Dense(self.hidden_dim, use_bias=self.use_bias, name="fc1")(x)
+            x = act(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.dim, use_bias=self.use_bias, name="fc2")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head attention covering the reference's common motif set.
+
+    Base form: reference vit.py:30-64 (pre-LN, fused qkv, no qkv bias,
+    projection out with dropout).  Options:
+
+    - ``qk_norm``: per-head RMSNorm on q and k with learned gamma, scale
+      overridden to 1 (reference na_vit.py:115-169).
+    - ``cross_attend``: context tensor for k/v (cross_vit.py:53-91), with
+      ``kv_include_self`` handled by the caller concatenating.
+    - ``bias`` argument: additive attention bias (rel-pos tables).
+    - ``q_segment_ids``/``kv_segment_ids``: packed-sequence block-diagonal
+      masking on the flash path (na_vit.py:335-337).
+    - ``rotary``: callable applied to q and k after head split (rvt.py:131-147).
+    - recording: see module docstring.
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    qk_norm: bool = False
+    pre_norm: bool = True
+    norm_bias: bool = True
+    norm_context: bool = False
+    qkv_bias: bool = False
+    out_bias: bool = True
+    scale: Optional[float] = None
+    project_out: Optional[bool] = None
+    flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        context=None,
+        *,
+        mask=None,
+        bias=None,
+        q_segment_ids=None,
+        kv_segment_ids=None,
+        rotary: Optional[Callable] = None,
+        train: bool = False,
+        return_attn: bool = False,
+    ):
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
+        project_out = default(self.project_out, not (h == 1 and dh == self.dim))
+
+        if self.pre_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, use_bias=self.norm_bias, name="norm")(x)
+
+        is_cross = exists(context)
+        if is_cross and self.norm_context:
+            context = nn.LayerNorm(
+                epsilon=LN_EPS, use_bias=self.norm_bias, name="norm_context"
+            )(context)
+        kv_input = context if is_cross else x
+
+        if is_cross:
+            q = nn.Dense(inner, use_bias=self.qkv_bias, name="to_q")(x)
+            kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, name="to_kv")(kv_input)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, name="to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+
+        scale = self.scale
+        if self.qk_norm:
+            q = RMSNorm(heads=h, dim=dh, name="q_norm")(q)
+            k = RMSNorm(heads=h, dim=dh, name="k_norm")(k)
+            scale = default(scale, 1.0)
+
+        if exists(rotary):
+            q, k = rotary(q), rotary(k)
+
+        record = self.is_mutable_collection("intermediates") or return_attn
+
+        dropout_rng = None
+        if self.dropout > 0.0 and train:
+            dropout_rng = self.make_rng("dropout")
+
+        if record:
+            out, attn = dot_product_attention(
+                q,
+                k,
+                v,
+                scale=scale,
+                bias=bias,
+                mask=mask,
+                q_segment_ids=q_segment_ids,
+                kv_segment_ids=kv_segment_ids,
+                dropout_rate=self.dropout if train else 0.0,
+                dropout_rng=dropout_rng,
+                return_attn=True,
+                use_flash=False,
+            )
+            self.sow("intermediates", "attn", attn)
+        else:
+            out = dot_product_attention(
+                q,
+                k,
+                v,
+                scale=scale,
+                bias=bias,
+                mask=mask,
+                q_segment_ids=q_segment_ids,
+                kv_segment_ids=kv_segment_ids,
+                dropout_rate=self.dropout if train else 0.0,
+                dropout_rng=dropout_rng,
+                use_flash=self.flash,
+            )
+            attn = None
+
+        b, _, n, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+
+        if project_out:
+            out = nn.Dense(self.dim, use_bias=self.out_bias, name="to_out")(out)
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+
+        if return_attn:
+            return out, attn
+        return out
+
+
+class Transformer(nn.Module):
+    """Pre-norm residual transformer (reference vit.py:66-83).
+
+    ``final_norm`` toggles the closing LayerNorm.  Layers are unrolled — ViT
+    depths are small (≤ 27 in the whole zoo) and unrolling lets XLA fuse
+    across layer boundaries.
+    """
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    qk_norm: bool = False
+    final_norm: bool = True
+    norm_bias: bool = True
+    attn_out_bias: bool = True
+    qkv_bias: bool = False
+    flash: Optional[bool] = None
+    ff_activation: str = "gelu"
+    ff_glu: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        *,
+        mask=None,
+        bias=None,
+        q_segment_ids=None,
+        kv_segment_ids=None,
+        rotary: Optional[Callable] = None,
+        train: bool = False,
+        return_hiddens: bool = False,
+    ):
+        hiddens = []
+        for i in range(self.depth):
+            x = (
+                Attention(
+                    dim=self.dim,
+                    heads=self.heads,
+                    dim_head=self.dim_head,
+                    dropout=self.dropout,
+                    qk_norm=self.qk_norm,
+                    norm_bias=self.norm_bias,
+                    out_bias=self.attn_out_bias,
+                    qkv_bias=self.qkv_bias,
+                    flash=self.flash,
+                    name=f"layers_{i}_attn",
+                )(
+                    x,
+                    mask=mask,
+                    bias=bias,
+                    q_segment_ids=q_segment_ids,
+                    kv_segment_ids=kv_segment_ids,
+                    rotary=rotary,
+                    train=train,
+                )
+                + x
+            )
+            x = (
+                FeedForward(
+                    dim=self.dim,
+                    hidden_dim=self.mlp_dim,
+                    dropout=self.dropout,
+                    activation=self.ff_activation,
+                    glu=self.ff_glu,
+                    norm_bias=self.norm_bias,
+                    name=f"layers_{i}_ff",
+                )(x, train=train)
+                + x
+            )
+            if return_hiddens:
+                hiddens.append(x)
+
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, use_bias=self.norm_bias, name="norm")(x)
+
+        if return_hiddens:
+            return x, hiddens
+        return x

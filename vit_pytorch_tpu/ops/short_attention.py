@@ -1,0 +1,133 @@
+"""Single-pass Pallas attention for short sequences (the ViT hot path).
+
+ViT sequence lengths are tiny (65-1024 tokens) — the whole attention row fits
+in VMEM, so the online-softmax running state of flash attention is pure
+overhead.  This kernel:
+
+* processes G batch·head slices per program (amortizes grid/pipeline overhead:
+  bs=256 ViT-B/16 has 3072 (b,h) pairs → 3072/G programs);
+* computes s = q·kᵀ, softmax (fp32, in VMEM — the (n, n) matrix NEVER touches
+  HBM, unlike the XLA path which is HBM-bound on it), and p·v in one shot;
+* masks padded kv columns.
+
+Backward = rematerialized XLA attention (same rationale as
+flash_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, group, n_pad):
+    for g in range(group):
+        q = q_ref[g]
+        k = k_ref[g]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+        if kv_len != n_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        # divide AFTER the pv matmul: (n, d) elements instead of (n, n)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[g],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[g] = (o / l).astype(o_ref.dtype)
+
+
+def _short_forward(q, k, v, scale, group, interpret):
+    b, h, n, d = q.shape
+    m = k.shape[2]
+
+    n_pad = _round_up(n, 128)
+    m_pad = _round_up(m, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+
+    bh = b * h
+    while bh % group != 0:
+        group //= 2
+    qp = qp.reshape(bh, n_pad, d)
+    kp = kp.reshape(bh, m_pad, d)
+    vp = vp.reshape(bh, m_pad, d)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _short_kernel, scale=scale, kv_len=m, group=group, n_pad=m_pad
+        ),
+        grid=(bh // group,),
+        in_specs=[
+            pl.BlockSpec((group, n_pad, d), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, m_pad, d), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, m_pad, d), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, n_pad, d), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    return out.reshape(b, h, n_pad, d)[:, :, :n, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _short_attention_core(q, k, v, scale, group, interpret):
+    return _short_forward(q, k, v, scale, group, interpret)
+
+
+def _fwd(q, k, v, scale, group, interpret):
+    return _short_forward(q, k, v, scale, group, interpret), (q, k, v)
+
+
+def _bwd(scale, group, interpret, residuals, g):
+    from .attention import xla_attention
+
+    q, k, v = residuals
+    dq, dk, dv = jax.vjp(
+        lambda q, k, v: xla_attention(q, k, v, scale=scale), q, k, v
+    )[1](g)
+    return dq, dk, dv
+
+
+_short_attention_core.defvjp(_fwd, _bwd)
+
+
+def short_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    group: int = 8,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Unmasked short-sequence attention.  q: (b, h, n, d) → (b, h, n, d)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _short_attention_core(q, k, v, float(scale), group, interpret)

@@ -1,0 +1,218 @@
+"""torch → JAX weight conversion.
+
+This is the parity path (BASELINE.md: logits must match the PyTorch reference
+at fp32 tolerance) and the analogue of the reference's one real checkpoint
+import, ``SigLIPVAT.load_siglip`` (vat_siglip.py:273-343).
+
+Rules map torch ``state_dict`` keys onto flax param paths:
+  - ``nn.Linear.weight`` (out, in)  → ``Dense.kernel`` (in, out): transpose
+  - ``nn.LayerNorm.weight/bias``    → ``LayerNorm.scale/bias``
+  - ``nn.Conv2d.weight`` (o,i,kh,kw)→ ``Conv.kernel`` (kh,kw,i,o)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterable, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def linear_w(t):
+    return _np(t).T
+
+
+def conv2d_w(t):
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def conv3d_w(t):
+    return _np(t).transpose(2, 3, 4, 1, 0)
+
+
+def identity(t):
+    return _np(t)
+
+
+Rule = tuple[str, str, Callable]
+
+
+def apply_rules(state_dict: Mapping, rules: Iterable[Rule]) -> dict:
+    """Apply (regex, replacement-template, transform) rules to a state dict.
+
+    Replacement templates may use backrefs (``\\1`` etc.).  Returns nested
+    flax params {'params': {...}} keyed by '/'-joined paths.
+    """
+    flat = {}
+    unmatched = []
+    for key, tensor in state_dict.items():
+        for pattern, template, transform in rules:
+            m = re.fullmatch(pattern, key)
+            if m:
+                path = m.expand(template)
+                flat[tuple(path.split("/"))] = jnp.asarray(transform(tensor))
+                break
+        else:
+            unmatched.append(key)
+    if unmatched:
+        raise ValueError(f"unconverted torch keys: {unmatched}")
+
+    from flax.traverse_util import unflatten_dict
+
+    return {"params": unflatten_dict(flat)}
+
+
+def _ln(src: str, dst: str) -> list[Rule]:
+    return [
+        (rf"{src}\.weight", rf"{dst}/scale", identity),
+        (rf"{src}\.bias", rf"{dst}/bias", identity),
+    ]
+
+
+def _linear(src: str, dst: str, bias: bool = True) -> list[Rule]:
+    rules = [(rf"{src}\.weight", rf"{dst}/kernel", linear_w)]
+    if bias:
+        rules.append((rf"{src}\.bias", rf"{dst}/bias", identity))
+    return rules
+
+
+def transformer_rules(
+    src: str = "transformer", dst: str = "transformer", *, simple: bool = False
+) -> list[Rule]:
+    """Shared Transformer mapping (reference vit.py:66-83 / simple_vit.py:64-78).
+
+    ``simple=True``: to_out is a bare Linear and FF has no dropout indices
+    (net.3 is fc2); otherwise to_out.0 / net.4 (vit.py:44-49, 18-24).
+    """
+    out_key = "to_out" if simple else r"to_out\.0"
+    fc2_idx = "3" if simple else "4"
+    rules: list[Rule] = []
+    rules += _ln(rf"{src}\.layers\.(\d+)\.0\.norm", rf"{dst}/layers_\1_attn/norm")
+    rules += [
+        (
+            rf"{src}\.layers\.(\d+)\.0\.to_qkv\.weight",
+            rf"{dst}/layers_\1_attn/to_qkv/kernel",
+            linear_w,
+        ),
+        (
+            rf"{src}\.layers\.(\d+)\.0\.{out_key}\.weight",
+            rf"{dst}/layers_\1_attn/to_out/kernel",
+            linear_w,
+        ),
+        (
+            rf"{src}\.layers\.(\d+)\.0\.{out_key}\.bias",
+            rf"{dst}/layers_\1_attn/to_out/bias",
+            identity,
+        ),
+    ]
+    rules += _ln(rf"{src}\.layers\.(\d+)\.1\.net\.0", rf"{dst}/layers_\1_ff/norm")
+    rules += _linear(rf"{src}\.layers\.(\d+)\.1\.net\.1", rf"{dst}/layers_\1_ff/fc1")
+    rules += _linear(
+        rf"{src}\.layers\.(\d+)\.1\.net\.{fc2_idx}", rf"{dst}/layers_\1_ff/fc2"
+    )
+    rules += _ln(rf"{src}\.norm", rf"{dst}/norm")
+    return rules
+
+
+def patch_embed_rules(
+    src: str = "to_patch_embedding", dst: str = "patch_embedding"
+) -> list[Rule]:
+    """reference vit.py:99-104: Sequential(Rearrange, LN, Linear, LN)."""
+    return (
+        _ln(rf"{src}\.1", rf"{dst}/norm_pre")
+        + _linear(rf"{src}\.2", rf"{dst}/proj")
+        + _ln(rf"{src}\.3", rf"{dst}/norm_post")
+    )
+
+
+def convert_vit(state_dict) -> dict:
+    """reference vit.py:85-138 → models/vit.py ViT params."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    rules += transformer_rules()
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def _fuse_qkv(state_dict: Mapping, only_prefix: str = "") -> dict:
+    """NaViT keeps separate to_q / to_kv projections (na_vit.py:127-128); our
+    self-attention uses one fused qkv GEMM (better MXU utilization).  Fuse the
+    torch weights: qkv = cat([q, kv], dim=out).  Cross-attention modules (e.g.
+    attn_pool) keep split projections — filter with ``only_prefix``."""
+    import numpy as np
+
+    out = dict(state_dict)
+    for key in list(out.keys()):
+        if key.endswith(".to_q.weight") and key.startswith(only_prefix):
+            base = key[: -len(".to_q.weight")]
+            kv_key = base + ".to_kv.weight"
+            if kv_key in out:
+                q = _np(out.pop(key))
+                kv = _np(out.pop(kv_key))
+                out[base + ".to_qkv.weight"] = np.concatenate([q, kv], axis=0)
+    return out
+
+
+def navit_transformer_rules(src: str = "transformer", dst: str = "transformer") -> list[Rule]:
+    """NaViT transformer (na_vit.py:171-193): bias-free custom LN (param
+    'gamma'), qk RMSNorm, FF as Sequential indices (105-113)."""
+    rules: list[Rule] = [
+        (rf"{src}\.layers\.(\d+)\.0\.norm\.gamma", rf"{dst}/layers_\1_attn/norm/scale", identity),
+        (rf"{src}\.layers\.(\d+)\.0\.q_norm\.gamma", rf"{dst}/layers_\1_attn/q_norm/gamma", identity),
+        (rf"{src}\.layers\.(\d+)\.0\.k_norm\.gamma", rf"{dst}/layers_\1_attn/k_norm/gamma", identity),
+        (rf"{src}\.layers\.(\d+)\.0\.to_qkv\.weight", rf"{dst}/layers_\1_attn/to_qkv/kernel", linear_w),
+        (rf"{src}\.layers\.(\d+)\.0\.to_out\.0\.weight", rf"{dst}/layers_\1_attn/to_out/kernel", linear_w),
+        (rf"{src}\.layers\.(\d+)\.1\.0\.gamma", rf"{dst}/layers_\1_ff/norm/scale", identity),
+        (rf"{src}\.layers\.(\d+)\.1\.1\.weight", rf"{dst}/layers_\1_ff/fc1/kernel", linear_w),
+        (rf"{src}\.layers\.(\d+)\.1\.1\.bias", rf"{dst}/layers_\1_ff/fc1/bias", identity),
+        (rf"{src}\.layers\.(\d+)\.1\.4\.weight", rf"{dst}/layers_\1_ff/fc2/kernel", linear_w),
+        (rf"{src}\.layers\.(\d+)\.1\.4\.bias", rf"{dst}/layers_\1_ff/fc2/bias", identity),
+        (rf"{src}\.norm\.gamma", rf"{dst}/norm/scale", identity),
+    ]
+    return rules
+
+
+def convert_na_vit(state_dict) -> dict:
+    """reference na_vit.py:195-402 → models/na_vit.py NaViT params."""
+    sd = {
+        k: v
+        for k, v in _fuse_qkv(state_dict, only_prefix="transformer.").items()
+        if not k.endswith(".beta")
+    }
+    rules: list[Rule] = [
+        (r"to_patch_embedding\.0\.gamma", "patch_norm_pre/scale", identity),
+        (r"to_patch_embedding\.1\.weight", "patch_proj/kernel", linear_w),
+        (r"to_patch_embedding\.1\.bias", "patch_proj/bias", identity),
+        (r"to_patch_embedding\.2\.gamma", "patch_norm_post/scale", identity),
+        ("pos_embed_height", "pos_embed_height", identity),
+        ("pos_embed_width", "pos_embed_width", identity),
+        ("attn_pool_queries", "attn_pool_queries", identity),
+        (r"attn_pool\.norm\.gamma", "attn_pool/norm/scale", identity),
+        (r"attn_pool\.q_norm\.gamma", "attn_pool/q_norm/gamma", identity),
+        (r"attn_pool\.k_norm\.gamma", "attn_pool/k_norm/gamma", identity),
+        (r"attn_pool\.to_q\.weight", "attn_pool/to_q/kernel", linear_w),
+        (r"attn_pool\.to_kv\.weight", "attn_pool/to_kv/kernel", linear_w),
+        (r"attn_pool\.to_out\.0\.weight", "attn_pool/to_out/kernel", linear_w),
+        (r"mlp_head\.0\.gamma", "head_norm/scale", identity),
+        (r"mlp_head\.1\.weight", "mlp_head/kernel", linear_w),
+    ]
+    rules += navit_transformer_rules()
+    return apply_rules(sd, rules)
+
+
+def convert_simple_vit(state_dict) -> dict:
+    """reference simple_vit.py:80-120 → models/simple_vit.py SimpleViT params."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += transformer_rules(simple=True)
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
