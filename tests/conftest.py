@@ -25,6 +25,13 @@ import jax
 # parity vs torch fp32 needs true fp32 accumulation
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# the axon TPU tunnel plugin ignores JAX_PLATFORMS=cpu; pin the default
+# device to host CPU so tests don't pay 5-40 ms tunnel latency per dispatch
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
+
 REFERENCE_PATH = "/root/reference"
 
 

@@ -52,10 +52,15 @@ class RMSNorm(nn.Module):
 
     heads: int
     dim: int
+    gamma_init: float = 1.0  # simple_vit_with_qk_norm.py:32 uses 1/sqrt(dim)
 
     @nn.compact
     def __call__(self, x):
-        gamma = self.param("gamma", nn.initializers.ones, (self.heads, 1, self.dim))
+        gamma = self.param(
+            "gamma",
+            nn.initializers.constant(self.gamma_init),
+            (self.heads, 1, self.dim),
+        )
         normed = x * jax.lax.rsqrt(
             jnp.sum(jnp.square(x), axis=-1, keepdims=True) + 1e-12
         )
@@ -132,6 +137,7 @@ class Attention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     qk_norm: bool = False
+    qk_norm_gamma_init: float = 1.0
     pre_norm: bool = True
     norm_bias: bool = True
     norm_context: bool = False
@@ -139,6 +145,7 @@ class Attention(nn.Module):
     out_bias: bool = True
     scale: Optional[float] = None
     project_out: Optional[bool] = None
+    kv_include_self: bool = False  # kv over [x ∥ context] (cait.py:87, cross_vit.py:58)
     flash: Optional[bool] = None
 
     @nn.compact
@@ -167,6 +174,8 @@ class Attention(nn.Module):
             context = nn.LayerNorm(
                 epsilon=LN_EPS, use_bias=self.norm_bias, name="norm_context"
             )(context)
+        if is_cross and self.kv_include_self:
+            context = jnp.concatenate([x, context], axis=1)
         kv_input = context if is_cross else x
 
         if is_cross:
@@ -185,8 +194,8 @@ class Attention(nn.Module):
 
         scale = self.scale
         if self.qk_norm:
-            q = RMSNorm(heads=h, dim=dh, name="q_norm")(q)
-            k = RMSNorm(heads=h, dim=dh, name="k_norm")(k)
+            q = RMSNorm(heads=h, dim=dh, gamma_init=self.qk_norm_gamma_init, name="q_norm")(q)
+            k = RMSNorm(heads=h, dim=dh, gamma_init=self.qk_norm_gamma_init, name="k_norm")(k)
             scale = default(scale, 1.0)
 
         if exists(rotary):

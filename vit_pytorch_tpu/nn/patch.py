@@ -44,6 +44,50 @@ def patchify_1d(series: jnp.ndarray, p: int) -> jnp.ndarray:
     return rearrange(series, "b c (n p) -> b n (p c)", p=p)
 
 
+def unfold_2d(x: jnp.ndarray, kernel_size: int, stride: int, padding: int) -> jnp.ndarray:
+    """torch ``nn.Unfold`` equivalent: (b, c, h, w) → (b, L, c·k·k) with the
+    channel-slowest ordering torch uses (t2t.py:43, pit.py:140-144).
+
+    Implemented with ``lax.conv_general_dilated_patches`` — lowers to an XLA
+    gather/conv the TPU handles natively.
+    """
+    import jax
+
+    patches = jax.lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(kernel_size, kernel_size),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+    )  # (b, c*k*k, oh, ow), feature dim ordered (c, kh, kw) slowest-first
+    b, ckk, oh, ow = patches.shape
+    return patches.reshape(b, ckk, oh * ow).transpose(0, 2, 1)
+
+
+class PatchDropout(nn.Module):
+    """Keep a random static-size subset of tokens at train time
+    (reference simple_vit_with_patch_dropout.py:27-44: topk over randn).
+
+    Static shapes under jit: ``num_keep`` is computed from the static token
+    count, so the output shape is fixed.
+    """
+
+    prob: float
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        assert 0 <= self.prob < 1.0
+        if not train or self.prob == 0.0:
+            return x
+        import jax
+
+        b, n, _ = x.shape
+        num_keep = max(1, int(n * (1 - self.prob)))
+        rng = self.make_rng("dropout")
+        scores = jax.random.normal(rng, (b, n))
+        idx = jnp.argsort(scores, axis=-1, descending=True)[:, :num_keep]
+        return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
 class PatchEmbedding(nn.Module):
     """LN → Linear → LN patch embedding (reference vit.py:99-104).
 

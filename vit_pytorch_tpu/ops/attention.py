@@ -35,6 +35,16 @@ def _large_negative(dtype) -> jnp.ndarray:
     return jnp.asarray(jnp.finfo(dtype).min, dtype)
 
 
+def on_tpu() -> bool:
+    """True when computation actually lands on a TPU.  Respects
+    ``jax_default_device`` overrides (tests pin it to host CPU because the
+    axon tunnel plugin ignores JAX_PLATFORMS)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def xla_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -125,9 +135,7 @@ def dot_product_attention(
         # where the materialized matrix would be HBM-bound (measured on v5e:
         # n=197 XLA ≈ 1 ms/layer fused vs 2.2 ms pallas; n=2048 segs flash ≫).
         use_flash = (
-            kernel_ok
-            and jax.default_backend() == "tpu"
-            and (m >= 1024 or q_segment_ids is not None)
+            kernel_ok and on_tpu() and (m >= 1024 or q_segment_ids is not None)
         )
 
     if use_flash and kernel_ok:

@@ -372,7 +372,9 @@ def flash_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from .attention import on_tpu
+
+        interpret = not on_tpu()
     if bias is not None:
         # normalize bias rank to (b|1, h|1, n, m)
         while bias.ndim < 4:

@@ -129,5 +129,7 @@ def short_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from .attention import on_tpu
+
+        interpret = not on_tpu()
     return _short_attention_core(q, k, v, float(scale), group, interpret)
