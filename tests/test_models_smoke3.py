@@ -1,0 +1,63 @@
+"""Smoke tests, batch 3: nViT, LookViT, jumbo weight-tying, flash-vit ctor."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _run(model, x, **kw):
+    params = model.init(jax.random.PRNGKey(0), x, **kw)
+    return model.apply(params, x, **kw), params
+
+
+def test_normalized_vit():
+    from vit_pytorch_tpu.models.normalized_vit import nViT, normalize_weights
+
+    v = nViT(image_size=64, patch_size=16, num_classes=10, dim=32, depth=2, heads=2, mlp_dim=64)
+    out, params = _run(v, jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64)))
+    assert out.shape == (2, 10)
+    # post-step weight re-normalization keeps outputs identical (weights are
+    # normalized in-forward anyway)
+    p2 = {"params": normalize_weights(params["params"])}
+    out2 = v.apply(p2, jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-4, rtol=1e-4)
+
+
+def test_look_vit():
+    from vit_pytorch_tpu.models.look_vit import LookViT
+
+    v = LookViT(
+        image_size=64,
+        num_classes=10,
+        dim=32,
+        depth=2,
+        heads=2,
+        dim_head=16,
+        patch_size=16,
+        highres_patch_size=8,
+        cross_attn_heads=2,
+        cross_attn_dim_head=16,
+        dropout=0.0,
+    )
+    out, _ = _run(v, jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64)))
+    assert out.shape == (2, 10)
+
+
+def test_simple_flash_attn_vit_ctor():
+    from vit_pytorch_tpu.models.simple_flash_attn_vit import SimpleViT
+
+    v = SimpleViT(image_size=64, patch_size=16, num_classes=10, dim=32, depth=1, heads=2, mlp_dim=64)
+    out, _ = _run(v, jnp.zeros((1, 3, 64, 64)))
+    assert out.shape == (1, 10)
+
+
+def test_jumbo_weight_tying():
+    from vit_pytorch_tpu.models.jumbo_vit import JumboViT
+    from flax.traverse_util import flatten_dict
+
+    v = JumboViT(image_size=32, patch_size=8, num_classes=5, dim=16, depth=3, heads=2, mlp_dim=32, jumbo_cls_k=2, jumbo_ff_mult=1)
+    params = v.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))
+    flat = flatten_dict(params["params"])
+    jumbo_keys = [k for k in flat if "jumbo_ff" in "/".join(map(str, k))]
+    # one shared jumbo_ff module regardless of depth
+    assert len({k[0] for k in jumbo_keys}) == 1

@@ -44,6 +44,22 @@ class LayerNorm(nn.Module):
         return nn.LayerNorm(epsilon=self.eps, use_bias=self.use_bias, name="ln")(x)
 
 
+class UnitOffsetLayerNorm(nn.Module):
+    """Bias-less LayerNorm with the unit-offset gamma trick — params init at
+    zero, effective scale = gamma + 1 (reference look_vit.py:37-45)."""
+
+    eps: float = LN_EPS
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.zeros, (dim,))
+        normed = nn.LayerNorm(
+            epsilon=self.eps, use_bias=False, use_scale=False, name="ln"
+        )(x)
+        return normed * (gamma.astype(x.dtype) + 1)
+
+
 class RMSNorm(nn.Module):
     """Per-head RMSNorm with learned gamma (reference na_vit.py:93-103).
 
