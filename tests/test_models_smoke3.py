@@ -61,3 +61,80 @@ def test_jumbo_weight_tying():
     jumbo_keys = [k for k in flat if "jumbo_ff" in "/".join(map(str, k))]
     # one shared jumbo_ff module regardless of depth
     assert len({k[0] for k in jumbo_keys}) == 1
+
+
+def test_cct():
+    from vit_pytorch_tpu.models.cct import cct_2
+
+    m = cct_2(img_size=64, num_classes=10, positional_embedding="learnable")
+    x = jnp.zeros((2, 3, 64, 64))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == (2, 10)
+
+
+def test_levit():
+    from vit_pytorch_tpu.models.levit import LeViT
+
+    m = LeViT(image_size=64, num_classes=10, stages=3, dim=(32, 48, 64), depth=1, heads=(1, 2, 2), mlp_mult=2)
+    x = jnp.zeros((2, 3, 64, 64))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out, distill = m.apply(params, x), None
+    assert out.shape == (2, 10)
+
+
+def test_cvt():
+    from vit_pytorch_tpu.models.cvt import CvT
+
+    m = CvT(num_classes=10, s1_emb_dim=16, s2_emb_dim=24, s3_emb_dim=32, s1_depth=1, s2_depth=1, s3_depth=1)
+    x = jnp.zeros((2, 3, 64, 64))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == (2, 10)
+
+
+def test_max_vit_smoke():
+    from vit_pytorch_tpu.models.max_vit import MaxViT
+
+    m = MaxViT(num_classes=10, dim=32, dim_head=16, depth=(1, 1), window_size=4, dropout=0.1)
+    x = jnp.zeros((2, 3, 64, 64))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == (2, 10)
+    out_t, updates = m.apply(
+        params, x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert out_t.shape == (2, 10) and "batch_stats" in updates
+
+
+def test_vivit_smoke():
+    from vit_pytorch_tpu.models.vivit import ViViT
+
+    for variant in ("factorized_encoder", "factorized_self_attention"):
+        m = ViViT(
+            image_size=32, image_patch_size=8, frames=4, frame_patch_size=2,
+            num_classes=7, dim=32, spatial_depth=1, temporal_depth=1,
+            heads=2, mlp_dim=64, variant=variant,
+        )
+        vid = jnp.zeros((2, 3, 4, 32, 32))
+        params = m.init(jax.random.PRNGKey(0), vid)
+        assert m.apply(params, vid).shape == (2, 7)
+
+    # mean-pool variant + frame mask
+    m = ViViT(
+        image_size=32, image_patch_size=8, frames=4, frame_patch_size=2,
+        num_classes=7, dim=32, spatial_depth=1, temporal_depth=1,
+        heads=2, mlp_dim=64, pool="mean",
+    )
+    vid = jnp.zeros((2, 3, 4, 32, 32))
+    params = m.init(jax.random.PRNGKey(0), vid)
+    mask = jnp.array([[True, True, True, False], [True] * 4])
+    assert m.apply(params, vid, mask=mask).shape == (2, 7)
+
+
+def test_mobile_vit():
+    from vit_pytorch_tpu.models.mobile_vit import MobileViT
+
+    m = MobileViT(image_size=(64, 64), dims=(16, 20, 24), channels=(4, 8, 12, 12, 16, 16, 24, 24, 32, 32, 64), num_classes=10)
+    x = jnp.zeros((2, 3, 64, 64))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == (2, 10)

@@ -49,13 +49,22 @@ def apply_rules(state_dict: Mapping, rules: Iterable[Rule]) -> dict:
     flax params {'params': {...}} keyed by '/'-joined paths.
     """
     flat = {}
+    stats = {}
     unmatched = []
     for key, tensor in state_dict.items():
         for pattern, template, transform in rules:
             m = re.fullmatch(pattern, key)
             if m:
                 path = m.expand(template)
-                flat[tuple(path.split("/"))] = jnp.asarray(transform(tensor))
+                if path == "<drop>":
+                    break
+                # "stats:" prefix routes into the batch_stats collection
+                # (BatchNorm running mean/var)
+                target = flat
+                if path.startswith("stats:"):
+                    target = stats
+                    path = path[len("stats:"):]
+                target[tuple(path.split("/"))] = jnp.asarray(transform(tensor))
                 break
         else:
             unmatched.append(key)
@@ -64,7 +73,10 @@ def apply_rules(state_dict: Mapping, rules: Iterable[Rule]) -> dict:
 
     from flax.traverse_util import unflatten_dict
 
-    return {"params": unflatten_dict(flat)}
+    out = {"params": unflatten_dict(flat)}
+    if stats:
+        out["batch_stats"] = unflatten_dict(stats)
+    return out
 
 
 def _ln(src: str, dst: str) -> list[Rule]:
@@ -207,6 +219,82 @@ def convert_na_vit(state_dict) -> dict:
     ]
     rules += navit_transformer_rules()
     return apply_rules(sd, rules)
+
+
+def _bn(src: str, dst: str) -> list[Rule]:
+    return [
+        (rf"{src}\.weight", rf"{dst}/scale", identity),
+        (rf"{src}\.bias", rf"{dst}/bias", identity),
+        (rf"{src}\.running_mean", rf"stats:{dst}/mean", identity),
+        (rf"{src}\.running_var", rf"stats:{dst}/var", identity),
+        (rf"{src}\.num_batches_tracked", "<drop>", identity),
+    ]
+
+
+def _conv(src: str, dst: str, bias: bool = True) -> list[Rule]:
+    rules = [(rf"{src}\.weight", rf"{dst}/kernel", conv2d_w)]
+    if bias:
+        rules.append((rf"{src}\.bias", rf"{dst}/bias", identity))
+    return rules
+
+
+def convert_max_vit(state_dict) -> dict:
+    """reference max_vit.py:208-291 → models/max_vit.py MaxViT params
+    (incl. BatchNorm running stats into batch_stats)."""
+    rules: list[Rule] = []
+    rules += _conv(r"conv_stem\.0", "conv_stem_0")
+    rules += _conv(r"conv_stem\.1", "conv_stem_1")
+
+    # MBConv may be wrapped in MBConvResidual (fn.) — max_vit.py:114-116
+    mb = r"layers\.(\d+)\.0\.(?:fn\.)?"
+    dst = r"block_\1_mbconv"
+    rules += _conv(mb + r"0", dst + "/conv_expand")
+    rules += _bn(mb + r"1", dst + "/bn1")
+    rules += _conv(mb + r"3", dst + "/conv_depthwise")
+    rules += _bn(mb + r"4", dst + "/bn2")
+    rules += [
+        (mb + r"6\.gate\.1\.weight", dst + "/se/fc1/kernel", linear_w),
+        (mb + r"6\.gate\.3\.weight", dst + "/se/fc2/kernel", linear_w),
+    ]
+    rules += _conv(mb + r"7", dst + "/conv_project")
+    rules += _bn(mb + r"8", dst + "/bn3")
+
+    # block attention (seq idx 2/3), grid attention (seq idx 6/7)
+    for seq_idx, kind in ((2, "block_attn"), (3, "block_ff"), (6, "grid_attn"), (7, "grid_ff")):
+        src = rf"layers\.(\d+)\.{seq_idx}\.fn\."
+        d = rf"block_\1_{kind}"
+        if "attn" in kind:
+            rules += _ln(src + r"norm", d + "/norm")
+            rules += [
+                (src + r"to_qkv\.weight", d + "/to_qkv/kernel", linear_w),
+                (src + r"to_out\.0\.weight", d + "/to_out/kernel", linear_w),
+                (src + r"rel_pos_bias\.weight", d + "/rel_pos_bias", identity),
+            ]
+        else:
+            rules += _ln(src + r"net\.0", d + "/norm")
+            rules += _linear(src + r"net\.1", d + "/fc1")
+            rules += _linear(src + r"net\.4", d + "/fc2")
+
+    rules += _ln(r"mlp_head\.1", "head_norm")
+    rules += _linear(r"mlp_head\.2", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_vivit(state_dict) -> dict:
+    """reference vivit.py:154-281 (factorized_encoder) → models/vivit.py."""
+    rules: list[Rule] = []
+    rules += _ln(r"to_patch_embedding\.1", "patch_norm_pre")
+    rules += _linear(r"to_patch_embedding\.2", "patch_proj")
+    rules += _ln(r"to_patch_embedding\.3", "patch_norm_post")
+    rules += [
+        ("pos_embedding", "pos_embedding", identity),
+        ("spatial_cls_token", "spatial_cls_token", identity),
+        ("temporal_cls_token", "temporal_cls_token", identity),
+    ]
+    rules += transformer_rules("spatial_transformer", "spatial_transformer")
+    rules += transformer_rules("temporal_transformer", "temporal_transformer")
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(state_dict, rules)
 
 
 def convert_simple_vit(state_dict) -> dict:
