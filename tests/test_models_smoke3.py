@@ -138,3 +138,65 @@ def test_mobile_vit():
     x = jnp.zeros((2, 3, 64, 64))
     params = m.init(jax.random.PRNGKey(0), x)
     assert m.apply(params, x).shape == (2, 10)
+
+
+def test_nest():
+    from vit_pytorch_tpu.models.nest import NesT
+
+    m = NesT(image_size=64, patch_size=4, num_classes=10, dim=16, heads=2, num_hierarchies=3, block_repeats=(1, 1, 1))
+    x = jnp.zeros((2, 3, 64, 64))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == (2, 10)
+
+
+def test_twins_svt():
+    from vit_pytorch_tpu.models.twins_svt import TwinsSVT
+
+    m = TwinsSVT(num_classes=10, s1_emb_dim=16, s2_emb_dim=24, s3_emb_dim=32, s4_emb_dim=48,
+                 s1_depth=1, s2_depth=1, s3_depth=1, s4_depth=1,
+                 s1_local_patch_size=4, s1_global_k=4, s2_local_patch_size=4, s2_global_k=4,
+                 s3_local_patch_size=2, s3_global_k=2, s4_local_patch_size=2, s4_global_k=2)
+    x = jnp.zeros((2, 3, 128, 128))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == (2, 10)
+
+
+def test_learnable_memory_adapter():
+    from vit_pytorch_tpu.models.learnable_memory_vit import ViT as MemViT, Adapter
+
+    vit = MemViT(image_size=32, patch_size=8, num_classes=10, dim=32, depth=2, heads=2, mlp_dim=64)
+    img = jnp.zeros((2, 3, 32, 32))
+    vp = vit.clone(parent=None).init(jax.random.PRNGKey(0), img)
+    assert vit.clone(parent=None).apply(vp, img).shape == (2, 10)
+
+    ad = Adapter(vit=vit, num_memories_per_layer=4, num_classes=3)
+    ap = ad.init(jax.random.PRNGKey(2), img)
+    ap = {"params": {**ap["params"], "vit": vp["params"]}}
+    assert ad.apply(ap, img).shape == (2, 3)
+
+
+def test_vit_with_decorr():
+    from vit_pytorch_tpu.models.vit_with_decorr import ViT
+
+    v = ViT(image_size=64, patch_size=16, num_classes=10, dim=32, depth=2, heads=2, mlp_dim=64, decorr_sample_frac=0.5)
+    img = jnp.ones((2, 3, 64, 64))
+    p = v.init(jax.random.PRNGKey(0), img)
+    logits, aux = v.apply(p, img, train=True, rngs={"dropout": jax.random.PRNGKey(1), "decorr": jax.random.PRNGKey(2)})
+    assert logits.shape == (2, 10) and float(aux) > 0
+    _, aux_eval = v.apply(p, img)
+    assert float(aux_eval) == 0.0
+
+
+def test_keel_value_residual_fft():
+    from vit_pytorch_tpu.models.vit_with_keel_post_ln import ViT as KeelViT
+    from vit_pytorch_tpu.models.simple_vit_with_value_residual import SimpleViT as VRViT
+    from vit_pytorch_tpu.models.simple_vit_with_fft import SimpleViT as FFTViT
+
+    img = jnp.zeros((2, 3, 64, 64))
+    for m in (
+        KeelViT(image_size=64, patch_size=16, num_classes=10, dim=32, depth=2, heads=2, mlp_dim=64),
+        VRViT(image_size=64, patch_size=16, num_classes=10, dim=32, depth=3, heads=2, mlp_dim=64),
+        FFTViT(image_size=64, patch_size=16, freq_patch_size=16, num_classes=10, dim=32, depth=1, heads=2, mlp_dim=64),
+    ):
+        p = m.init(jax.random.PRNGKey(0), img)
+        assert m.apply(p, img).shape == (2, 10)

@@ -162,6 +162,7 @@ class Attention(nn.Module):
     scale: Optional[float] = None
     project_out: Optional[bool] = None
     kv_include_self: bool = False  # kv over [x ∥ context] (cait.py:87, cross_vit.py:58)
+    force_split_qkv: bool = False  # split to_q/to_kv even for self-attention
     flash: Optional[bool] = None
 
     @nn.compact
@@ -194,7 +195,7 @@ class Attention(nn.Module):
             context = jnp.concatenate([x, context], axis=1)
         kv_input = context if is_cross else x
 
-        if is_cross:
+        if is_cross or self.force_split_qkv:
             q = nn.Dense(inner, use_bias=self.qkv_bias, name="to_q")(x)
             kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, name="to_kv")(kv_input)
             k, v = jnp.split(kv, 2, axis=-1)

@@ -62,7 +62,11 @@ def make_train_step(
                 {"params": params},
                 images,
                 train=True,
-                rngs={"dropout": dropout_rng, "mask": dropout_rng},
+                rngs={
+                    "dropout": dropout_rng,
+                    "mask": jax.random.fold_in(dropout_rng, 1),
+                    "decorr": jax.random.fold_in(dropout_rng, 2),
+                },
             )
             if isinstance(out, tuple):
                 logits, aux = out
