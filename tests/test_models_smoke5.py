@@ -1,0 +1,56 @@
+"""Smoke tests, batch 5: maxvit+registers, cct_3d, navit packed variants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_max_vit_with_registers():
+    from vit_pytorch_tpu.models.max_vit_with_registers import MaxViT
+
+    m = MaxViT(num_classes=10, dim=32, dim_head=16, depth=(1, 1), window_size=4, num_register_tokens=2, dropout=0.0)
+    x = jnp.zeros((2, 3, 64, 64))
+    p = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(p, x).shape == (2, 10)
+
+
+def test_cct_3d():
+    from vit_pytorch_tpu.models.cct_3d import cct_2
+
+    m = cct_2(img_size=32, num_frames=4, num_classes=10, positional_embedding="learnable")
+    x = jnp.zeros((2, 3, 4, 32, 32))
+    p = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(p, x).shape == (2, 10)
+
+
+def test_na_vit_nested_tensor_alias():
+    # the nested-tensor variant IS the packed implementation on TPU
+    from vit_pytorch_tpu.models.na_vit_nested_tensor import NaViT, forward_packed
+    from vit_pytorch_tpu.models.na_vit import NaViT as PackedNaViT
+
+    assert NaViT is PackedNaViT
+
+
+def test_na_vit_nested_tensor_3d():
+    from vit_pytorch_tpu.models.na_vit_nested_tensor_3d import NaViT, pack_volumes
+
+    rng = np.random.default_rng(0)
+    vols = [
+        rng.standard_normal((3, 4, 32, 32)).astype(np.float32),
+        rng.standard_normal((3, 2, 16, 16)).astype(np.float32),
+        rng.standard_normal((3, 2, 32, 16)).astype(np.float32),
+    ]
+    packed = pack_volumes(vols, patch_size=16, frame_patch_size=2, max_seq_len=32)
+    m = NaViT(image_size=32, max_frames=4, patch_size=16, frame_patch_size=2,
+              num_classes=11, dim=32, depth=2, heads=2, dim_head=16, mlp_dim=64, num_registers=2)
+    p = m.init(jax.random.PRNGKey(0), packed)
+    out = m.apply(p, packed)
+    assert out.shape == (1, 3, 11)
+    assert np.all(np.isfinite(out))
+
+    # packing each video alone gives the same logits (mask correctness)
+    packed1 = pack_volumes([vols[1]], patch_size=16, frame_patch_size=2, max_seq_len=32)
+    out1 = m.apply(p, packed1)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 1]), np.asarray(out1[0, 0]), atol=1e-4, rtol=1e-4
+    )
