@@ -54,3 +54,39 @@ def test_na_vit_nested_tensor_3d():
     np.testing.assert_allclose(
         np.asarray(out[0, 1]), np.asarray(out1[0, 0]), atol=1e-4, rtol=1e-4
     )
+
+
+def test_jet_vit():
+    from vit_pytorch_tpu.models.jet_vit import JetViT
+
+    m = JetViT(image_size=64, patch_size=8, num_classes=10, dim=32, depth=3, heads=2, dim_head=16, mlp_dim=64,
+               window_size=4, attn_layers=("FA", "WA", ("LA", "FA")))
+    x = jnp.zeros((2, 3, 64, 64))
+    p = m.init({"params": jax.random.PRNGKey(0), "layer_select": jax.random.PRNGKey(1)}, x)
+    assert m.apply(p, x).shape == (2, 10)
+    out_t = m.apply(p, x, train=True, rngs={"layer_select": jax.random.PRNGKey(2)})
+    assert out_t.shape == (2, 10)
+
+
+def test_vit_detpool():
+    from vit_pytorch_tpu.models.vit_detpool import ViTDetPool
+
+    m = ViTDetPool(image_size=64, patch_size=16, num_classes=10, dim=32, depth=2, heads=2, mlp_dim=64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64))
+    p = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(p, x).shape == (2, 10)
+    pixel_mask = jnp.zeros((2, 64, 64), bool).at[:, :32, :32].set(True)
+    assert m.apply(p, x, pixel_mask).shape == (2, 10)
+    token_mask = jnp.ones((2, 16), bool)
+    assert m.apply(p, x, token_mask).shape == (2, 10)
+
+
+def test_accept_video_wrapper():
+    from vit_pytorch_tpu import ViT
+    from vit_pytorch_tpu.wrappers.accept_video_wrapper import AcceptVideoWrapper
+
+    v = ViT(image_size=32, patch_size=8, num_classes=10, dim=32, depth=1, heads=2, mlp_dim=64)
+    w = AcceptVideoWrapper(image_net=v, add_time_pos_emb=True, time_seq_len=12, dim_emb=10)
+    videos = jnp.zeros((1, 3, 7, 32, 32))
+    p = w.init(jax.random.PRNGKey(0), videos)
+    assert w.apply(p, videos, True).shape == (1, 7, 10)

@@ -1,0 +1,104 @@
+"""AcceptVideoWrapper — run any image network over video frames (reference
+accept_video_wrapper.py:27-180).
+
+Folds time into batch, calls the wrapped net (any method name), tree-maps
+the outputs back to (b, t, ...), optionally projects the embedding output,
+adds a learned time positional embedding, and optionally runs a MOSS module
+over the patch tokens.  ``eval_with_no_grad`` becomes ``stop_gradient``."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..utils.helpers import default, exists, pair
+
+
+class AcceptVideoWrapper(nn.Module):
+    """reference accept_video_wrapper.py:27 — same keyword constructor."""
+
+    image_net: Any
+    forward_function: str = "__call__"
+    add_time_pos_emb: bool = False
+    dim_emb: Optional[int] = None
+    time_seq_len: Optional[int] = None
+    embed_is_channel_first: bool = False
+    output_pos_add_pos_emb: int = 0
+    proj_embed_to_dim: Optional[int] = None
+    patch_size: Optional[Union[int, Tuple[int, int]]] = None
+    moss: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, video, eval_with_no_grad: bool = False, forward_kwargs=None, *, train: bool = False):
+        forward_kwargs = forward_kwargs or {}
+        time = video.shape[2]
+        video_height, video_width = video.shape[-2:]
+
+        if self.add_time_pos_emb:
+            assert exists(self.dim_emb) and exists(self.time_seq_len)
+            assert time <= self.time_seq_len
+
+        frames = jnp.moveaxis(video, 2, 1)  # b t c h w
+        frames = frames.reshape((-1,) + frames.shape[2:])
+
+        func = (
+            self.image_net
+            if self.forward_function == "__call__"
+            else getattr(self.image_net, self.forward_function)
+        )
+        outputs = func(frames, **forward_kwargs)
+        if eval_with_no_grad:
+            outputs = jax.tree.map(jax.lax.stop_gradient, outputs)
+
+        leaves, treedef = jax.tree.flatten(outputs)
+        leaves = [
+            t.reshape((-1, time) + t.shape[1:])
+            if hasattr(t, "shape") and t.size > 1
+            else t
+            for t in leaves
+        ]
+
+        pos_idx = self.output_pos_add_pos_emb
+
+        if exists(self.proj_embed_to_dim):
+            assert exists(self.dim_emb), "`dim_emb` must be passed in"
+            leaves[pos_idx] = nn.Dense(self.proj_embed_to_dim, name="embed_proj")(
+                leaves[pos_idx]
+            )
+
+        if self.add_time_pos_emb:
+            dim_pos = default(self.proj_embed_to_dim, self.dim_emb)
+            pos_emb = self.param(
+                "pos_emb", nn.initializers.normal(1e-2), (self.time_seq_len, dim_pos)
+            )
+            embed = leaves[pos_idx]
+            pe = pos_emb[None]  # (1, t, d)
+            extra = embed.ndim - pe.ndim
+            if self.embed_is_channel_first:
+                pe = pe.reshape(pe.shape + (1,) * extra)
+            else:
+                pe = pe.reshape(pe.shape[:2] + (1,) * extra + (pe.shape[-1],))
+            leaves[pos_idx] = embed + pe[:, : embed.shape[1]].astype(embed.dtype)
+
+        if exists(self.moss):
+            patch_size = self.patch_size
+            if not exists(patch_size):
+                patch_size = getattr(self.image_net, "patch_size", None)
+            assert exists(patch_size), "`patch_size` must be provided for MOSS"
+            ph, pw = pair(patch_size)
+            num_h, num_w = video_height // ph, video_width // pw
+            num_patches = num_h * num_w
+
+            embed = leaves[pos_idx]
+            num_cls = embed.shape[-2] - num_patches
+            cls_tokens, patch_tokens = embed[:, :, :num_cls], embed[:, :, num_cls:]
+            b, t = patch_tokens.shape[:2]
+            patch_tokens = patch_tokens.reshape(b, t, num_h, num_w, -1)
+            patch_tokens = self.moss(patch_tokens)
+            patch_tokens = patch_tokens.reshape(b, t, num_patches, -1)
+            leaves[pos_idx] = jnp.concatenate([cls_tokens, patch_tokens], axis=-2)
+
+        return jax.tree.unflatten(treedef, leaves)
