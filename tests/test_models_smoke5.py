@@ -90,3 +90,28 @@ def test_accept_video_wrapper():
     videos = jnp.zeros((1, 3, 7, 32, 32))
     p = w.init(jax.random.PRNGKey(0), videos)
     assert w.apply(p, videos, True).shape == (1, 7, 10)
+
+
+def test_simple_vit_remaining_variants():
+    from vit_pytorch_tpu.models.simple_vit_orthog_residual_update import SimpleViT as OViT
+    from vit_pytorch_tpu.models.simple_vit_with_hyper_connections import SimpleViT as HViT
+    from vit_pytorch_tpu.models.simple_vit_with_specialized_cls import SimpleViT as SViT
+    from vit_pytorch_tpu.models.simple_vit_attn_residual import SimpleViTAttnResidual
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64))
+
+    m = OViT(image_size=64, patch_size=16, num_classes=10, dim=32, depth=2, heads=2, mlp_dim=64, orthog_learned=True)
+    assert m.apply(m.init(jax.random.PRNGKey(0), x), x).shape == (2, 10)
+
+    m = HViT(image_size=64, patch_size=16, num_classes=10, dim=32, depth=2, heads=2, mlp_dim=64, num_residual_streams=4)
+    assert m.apply(m.init(jax.random.PRNGKey(0), x), x).shape == (2, 10)
+
+    m = SViT(image_size=64, patch_size=16, num_classes=10, dim=32, depth=3, heads=2, mlp_dim=64)
+    assert m.apply(m.init(jax.random.PRNGKey(0), x), x).shape == (2, 10)
+
+    m = SimpleViTAttnResidual(image_size=64, patch_size=16, num_classes=10, dim=32, depth=2, heads=2, dim_head=16, mlp_dim=64)
+    p = m.init(jax.random.PRNGKey(0), x)
+    logits, hist = m.apply(p, x, None, True)
+    assert logits.shape == (2, 10) and len(hist) == 5
+    logits2, _ = m.apply(p, x, hist, True)
+    assert logits2.shape == (2, 10)
