@@ -86,3 +86,33 @@ def test_augment_pipeline():
     # different keys → different crops
     crop2 = random_resized_crop(jax.random.PRNGKey(3), img, (16, 16), scale=(0.5, 1.0))
     assert not np.allclose(crop, crop2)
+
+
+def test_esvit():
+    from vit_pytorch_tpu.ssl.es_vit import EsViTTrainer, esvit_forward
+
+    net = ViT(**KW)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 32, 32))
+    t = EsViTTrainer(net=net, image_size=32, num_classes_K=32, projection_hidden_size=32, projection_layers=2)
+    p = t.init({"params": jax.random.PRNGKey(0)}, imgs)
+    s = t.create_state(p)
+    loss, (vc, rc) = esvit_forward(t, p, s, imgs, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    s2 = t.update_moving_average(
+        p, s.replace(last_teacher_view_centers=vc, last_teacher_region_centers=rc)
+    )
+    assert float(jnp.abs(s2.teacher_view_centers).sum()) > 0
+
+
+def test_lejepa():
+    from vit_pytorch_tpu.ssl.lejepa import LeJEPA, lejepa_forward
+
+    net = ViT(**KW)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 32, 32))
+    lj = LeJEPA(net=net, image_size=32, num_classes_K=32, projection_hidden_size=32,
+                projection_layers=2, sigreg_num_slices=64)
+    p = lj.init({"params": jax.random.PRNGKey(0)}, imgs)
+    loss = lejepa_forward(lj, p, imgs, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p_: lejepa_forward(lj, p_, imgs, jax.random.PRNGKey(3)))(p)
+    assert sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g)) > 0
