@@ -99,13 +99,18 @@ class PatchEmbedding(nn.Module):
     dim: int
     norm_input: bool = True
     norm_output: bool = True
+    norm_bias: bool = True
 
     @nn.compact
     def __call__(self, patches):
         x = patches
         if self.norm_input:
-            x = nn.LayerNorm(epsilon=LN_EPS, name="norm_pre")(x)
+            x = nn.LayerNorm(
+                epsilon=LN_EPS, use_bias=self.norm_bias, name="norm_pre"
+            )(x)
         x = nn.Dense(self.dim, name="proj")(x)
         if self.norm_output:
-            x = nn.LayerNorm(epsilon=LN_EPS, name="norm_post")(x)
+            x = nn.LayerNorm(
+                epsilon=LN_EPS, use_bias=self.norm_bias, name="norm_post"
+            )(x)
         return x
