@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..utils.helpers import default, exists, pair
 
 __all__ = ["CCT", "cct_2", "cct_4", "cct_6", "cct_7", "cct_8", "cct_14", "cct_16"]
@@ -187,7 +188,7 @@ class TransformerEncoderLayer(nn.Module):
 
         src = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(src)
         src2 = nn.Dense(self.dim_feedforward, name="linear1")(src)
-        src2 = jax.nn.gelu(src2, approximate=False)
+        src2 = _gelu(src2)
         src2 = nn.Dropout(self.dropout, deterministic=not train)(src2)
         src2 = nn.Dense(self.d_model, name="linear2")(src2)
         src2 = nn.Dropout(self.dropout, deterministic=not train)(src2)

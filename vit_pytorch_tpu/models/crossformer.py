@@ -17,6 +17,7 @@ import flax.linen as nn
 from einops import rearrange
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..utils.helpers import cast_tuple
 from .max_vit import rel_pos_indices
 
@@ -141,7 +142,7 @@ class CrossFormerFeedForward(nn.Module):
     def __call__(self, x, *, train: bool = False):
         out = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
         out = nn.Conv(self.dim * self.mult, (1, 1), name="conv1")(out)
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return nn.Conv(self.dim, (1, 1), name="conv2")(out)
 

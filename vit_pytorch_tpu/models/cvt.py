@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 
 
 class ChanLayerNorm(nn.Module):
@@ -114,7 +115,7 @@ class CvTFeedForward(nn.Module):
     def __call__(self, x, *, train: bool = False):
         out = ChanLayerNorm(name="norm")(x)
         out = nn.Conv(self.dim * self.mult, (1, 1), name="conv1")(out)
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = nn.Conv(self.dim, (1, 1), name="conv2")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -14,6 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from ..nn.blocks import gelu as _gelu
 
 from ..utils.helpers import default, exists
 
@@ -113,7 +114,7 @@ class LeViTAttention(nn.Module):
         out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(b, qy, qx, inner_v)
 
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = nn.Conv(dim_out, (1, 1), name="out_conv")(out)
         out = bn("out_bn", init_zero=True)(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..nn.blocks import UnitOffsetLayerNorm
+from ..nn.blocks import gelu as _gelu
 from ..nn.posemb import posemb_sincos_2d
 from ..utils.helpers import exists
 from einops import rearrange
@@ -32,7 +33,7 @@ class LookMLP(nn.Module):
         hidden = int(self.dim * self.factor)
         x = UnitOffsetLayerNorm(name="norm")(x)
         x = nn.Dense(hidden, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = _gelu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.dim, name="fc2")(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)

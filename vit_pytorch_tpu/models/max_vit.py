@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..utils.helpers import default
 from einops import rearrange
 
@@ -81,7 +82,7 @@ class MBConv(nn.Module):
 
         out = nn.Conv(hidden, (1, 1), name="conv_expand")(x)
         out = bn("bn1")(out)
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = nn.Conv(
             hidden,
             (3, 3),
@@ -91,7 +92,7 @@ class MBConv(nn.Module):
             name="conv_depthwise",
         )(out)
         out = bn("bn2")(out)
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = SqueezeExcitation(
             dim=hidden, shrinkage_rate=self.shrinkage_rate, name="se"
         )(out)
@@ -173,7 +174,7 @@ class MaxFeedForward(nn.Module):
         inner = int(self.dim * self.mult)
         out = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
         out = nn.Dense(inner, name="fc1")(out)
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = nn.Dense(self.dim, name="fc2")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -18,6 +18,7 @@ import flax.linen as nn
 from einops import rearrange
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..utils.helpers import cast_tuple
 
 
@@ -71,7 +72,7 @@ class RegionFeedForward(nn.Module):
     def __call__(self, x, *, train: bool = False):
         out = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
         out = nn.Dense(self.dim * self.mult, name="fc1")(out)
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return nn.Dense(self.dim, name="fc2")(out)
 
@@ -178,10 +179,10 @@ class RegionViT(nn.Module):
         if self.tokenize_local_3_conv:
             lt = nn.Conv(init_dim, (3, 3), strides=(2, 2), padding=1, name="local_conv1")(img)
             lt = nn.LayerNorm(epsilon=LN_EPS, name="local_norm1")(lt)
-            lt = jax.nn.gelu(lt, approximate=False)
+            lt = _gelu(lt)
             lt = nn.Conv(init_dim, (3, 3), strides=(2, 2), padding=1, name="local_conv2")(lt)
             lt = nn.LayerNorm(epsilon=LN_EPS, name="local_norm2")(lt)
-            lt = jax.nn.gelu(lt, approximate=False)
+            lt = _gelu(lt)
             local_tokens = nn.Conv(init_dim, (3, 3), padding=1, name="local_conv3")(lt)
         else:
             local_tokens = nn.Conv(

@@ -19,6 +19,7 @@ import flax.linen as nn
 from einops import rearrange
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..utils.helpers import cast_tuple, default
 
 
@@ -34,7 +35,7 @@ class ScalableFeedForward(nn.Module):
         inner = self.dim * self.expansion_factor
         out = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
         out = nn.Conv(inner, (1, 1), name="conv1")(out)
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = nn.Conv(self.dim, (1, 1), name="conv2")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -16,6 +16,7 @@ import flax.linen as nn
 from einops import rearrange, repeat
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..utils.helpers import cast_tuple
 
 
@@ -31,7 +32,7 @@ class SepFeedForward(nn.Module):
         inner = int(self.dim * self.mult)
         out = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
         out = nn.Conv(inner, (1, 1), name="conv1")(out)
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = nn.Conv(self.dim, (1, 1), name="conv2")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
@@ -100,7 +101,7 @@ class DSSA(nn.Module):
         fmaps = rearrange(fmaps, "(b x y) h n d -> b h (x y) n d", x=gx, y=gy)
 
         wn = nn.LayerNorm(epsilon=LN_EPS, name="window_norm")(wtok)
-        wn = jax.nn.gelu(wn, approximate=False)
+        wn = _gelu(wn)
         # conv1d over heads-merged channels → q,k (sep_vit.py:95-101)
         wn = wn.transpose(0, 2, 1, 3).reshape(b, num_windows, inner)
         wqk = nn.Dense(inner * 2, name="window_to_qk")(wn)

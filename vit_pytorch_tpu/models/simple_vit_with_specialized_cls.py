@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..nn.patch import PatchEmbedding, patchify_2d
 from ..nn.posemb import posemb_sincos_2d
 from ..ops.attention import dot_product_attention
@@ -80,7 +81,7 @@ class SpecializedFeedForward(nn.Module):
         )
         x = _specialized(norms, x, n_cls)
         x = nn.Dense(self.hidden_dim, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = _gelu(x)
         return nn.Dense(self.dim, name="fc2")(x)
 
 

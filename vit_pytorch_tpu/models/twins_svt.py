@@ -10,6 +10,7 @@ import flax.linen as nn
 from einops import rearrange
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 
 
 class TwinsFeedForward(nn.Module):
@@ -23,7 +24,7 @@ class TwinsFeedForward(nn.Module):
     def __call__(self, x, *, train: bool = False):
         out = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
         out = nn.Conv(self.dim * self.mult, (1, 1), name="conv1")(out)
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = nn.Conv(self.dim, (1, 1), name="conv2")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

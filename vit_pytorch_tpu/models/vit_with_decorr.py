@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..nn.patch import PatchEmbedding, patchify_2d
 from ..ops.attention import dot_product_attention
 from ..utils.helpers import default, exists, pair
@@ -137,7 +138,7 @@ class _DecorrFeedForward(nn.Module):
     def __call__(self, x, *, train: bool = False):
         normed = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
         out = nn.Dense(self.hidden_dim, name="fc1")(normed)
-        out = jax.nn.gelu(out, approximate=False)
+        out = _gelu(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = nn.Dense(self.dim, name="fc2")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -18,6 +18,7 @@ import flax.linen as nn
 from einops import rearrange, reduce, repeat
 
 from ..nn.blocks import FeedForward, LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..ops.attention import dot_product_attention
 from ..utils.helpers import default, exists, pair
 
@@ -131,7 +132,7 @@ class STSSEncoder(nn.Module):
         for i in range(2):
             x = nn.Conv(self.hidden_dim, (3, 3), padding=1, name=f"conv{i}")(x)
             x = nn.LayerNorm(epsilon=LN_EPS, use_bias=False, name=f"conv_norm{i}")(x)
-            x = jax.nn.gelu(x, approximate=False)
+            x = _gelu(x)
 
         x = x.reshape(b, t, lt, h, w, self.hidden_dim)
         x = x.transpose(0, 1, 3, 4, 2, 5).reshape(b, t, h, w, lt * self.hidden_dim)

@@ -18,6 +18,7 @@ import flax.linen as nn
 from einops import rearrange, reduce, repeat
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..nn.patch import PatchEmbedding, patchify_2d
 from ..utils.helpers import default, exists, pair
 
@@ -41,7 +42,7 @@ class WWTFeedForward(nn.Module):
     def __call__(self, x, *, train: bool = False):
         x = nn.LayerNorm(epsilon=LN_EPS, use_bias=False, name="norm")(x)
         x = nn.Dense(self.hidden_dim, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = _gelu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(default(self.out_dim, self.dim), name="fc2")(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)

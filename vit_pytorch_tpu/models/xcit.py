@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..nn.blocks import Attention, FeedForward, LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..nn.patch import PatchEmbedding
 from .cait import layerscale_init
 from einops import rearrange
@@ -94,7 +95,7 @@ class LocalPatchInteraction(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
         )(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = _gelu(x)
         x = nn.Conv(
             self.dim,
             (self.kernel_size, self.kernel_size),

@@ -20,6 +20,7 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from ..nn.blocks import gelu as _gelu
 from flax import struct
 
 from ..utils.helpers import default, exists
@@ -55,7 +56,7 @@ class MLP(nn.Module):
     def __call__(self, x):
         for i in range(self.num_layers - 1):
             x = nn.Dense(self.hidden_size, name=f"fc{i}")(x)
-            x = jax.nn.gelu(x, approximate=False)
+            x = _gelu(x)
         norm = jnp.maximum(
             jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6
         )

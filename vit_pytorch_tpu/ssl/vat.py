@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..nn.blocks import LN_EPS
+from ..nn.blocks import gelu as _gelu
 from ..nn.patch import PatchEmbedding, patchify_2d
 from ..ops.attention import dot_product_attention
 from ..utils.helpers import default, exists, pair
@@ -99,7 +100,7 @@ class VATFeedForward(nn.Module):
     def __call__(self, x, *, train: bool = False):
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
         x = nn.Dense(self.hidden_dim, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = _gelu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.dim, name="fc2")(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)

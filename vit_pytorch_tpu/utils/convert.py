@@ -142,6 +142,171 @@ def patch_embed_rules(
     )
 
 
+def convert_vit_1d(state_dict) -> dict:
+    """reference vit_1d.py:72-113 → models/vit_1d.py (no transformer final
+    norm; LN+Linear head)."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    rules += transformer_rules()[:-2]  # drop the final-norm rules
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_vit_3d(state_dict) -> dict:
+    """reference vit_3d.py:77-126 → models/vit_3d.py (same head layout as
+    vit_1d)."""
+    return convert_vit_1d(state_dict)
+
+
+def convert_parallel_vit(state_dict) -> dict:
+    """reference parallel_vit.py:90-135 → models/parallel_vit.py."""
+    rules: list[Rule] = [
+        (r"to_patch_embedding\.1\.weight", "patch_embedding/proj/kernel", linear_w),
+        (r"to_patch_embedding\.1\.bias", "patch_embedding/proj/bias", identity),
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    # layers.{i}.{0|1}.fns.{j} → layers_{i}_{attn|ff}_{j}
+    rules += _ln(
+        r"transformer\.layers\.(\d+)\.0\.fns\.(\d+)\.norm", r"layers_\1_attn_\2/norm"
+    )
+    rules += [
+        (
+            r"transformer\.layers\.(\d+)\.0\.fns\.(\d+)\.to_qkv\.weight",
+            r"layers_\1_attn_\2/to_qkv/kernel",
+            linear_w,
+        ),
+        (
+            r"transformer\.layers\.(\d+)\.0\.fns\.(\d+)\.to_out\.0\.weight",
+            r"layers_\1_attn_\2/to_out/kernel",
+            linear_w,
+        ),
+        (
+            r"transformer\.layers\.(\d+)\.0\.fns\.(\d+)\.to_out\.0\.bias",
+            r"layers_\1_attn_\2/to_out/bias",
+            identity,
+        ),
+    ]
+    rules += _ln(
+        r"transformer\.layers\.(\d+)\.1\.fns\.(\d+)\.net\.0", r"layers_\1_ff_\2/norm"
+    )
+    rules += _linear(
+        r"transformer\.layers\.(\d+)\.1\.fns\.(\d+)\.net\.1", r"layers_\1_ff_\2/fc1"
+    )
+    rules += _linear(
+        r"transformer\.layers\.(\d+)\.1\.fns\.(\d+)\.net\.4", r"layers_\1_ff_\2/fc2"
+    )
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_deepvit(state_dict) -> dict:
+    """reference deepvit.py:87-130 → models/deepvit.py."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    rules += _ln(r"transformer\.layers\.(\d+)\.0\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (
+            r"transformer\.layers\.(\d+)\.0\.to_qkv\.weight",
+            r"layers_\1_attn/to_qkv/kernel",
+            linear_w,
+        ),
+        (
+            r"transformer\.layers\.(\d+)\.0\.reattn_weights",
+            r"layers_\1_attn/reattn_weights",
+            identity,
+        ),
+    ]
+    rules += _ln(
+        r"transformer\.layers\.(\d+)\.0\.reattn_norm\.1", r"layers_\1_attn/reattn_norm"
+    )
+    rules += _linear(
+        r"transformer\.layers\.(\d+)\.0\.to_out\.0", r"layers_\1_attn/to_out"
+    )
+    rules += _ln(r"transformer\.layers\.(\d+)\.1\.net\.0", r"layers_\1_ff/norm")
+    rules += _linear(r"transformer\.layers\.(\d+)\.1\.net\.1", r"layers_\1_ff/fc1")
+    rules += _linear(r"transformer\.layers\.(\d+)\.1\.net\.4", r"layers_\1_ff/fc2")
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_cait(state_dict) -> dict:
+    """reference cait.py:124-178 → models/cait.py."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    for src, dst in (
+        ("patch_transformer", "patch_transformer"),
+        ("cls_transformer", "cls_transformer"),
+    ):
+        rules += [
+            (
+                rf"{src}\.layers\.(\d+)\.0\.scale",
+                rf"{dst}/layers_\1_attn_scale",
+                identity,
+            ),
+            (
+                rf"{src}\.layers\.(\d+)\.1\.scale",
+                rf"{dst}/layers_\1_ff_scale",
+                identity,
+            ),
+        ]
+        rules += _ln(
+            rf"{src}\.layers\.(\d+)\.0\.fn\.norm", rf"{dst}/layers_\1_attn/norm"
+        )
+        rules += [
+            (
+                rf"{src}\.layers\.(\d+)\.0\.fn\.to_q\.weight",
+                rf"{dst}/layers_\1_attn/to_q/kernel",
+                linear_w,
+            ),
+            (
+                rf"{src}\.layers\.(\d+)\.0\.fn\.to_kv\.weight",
+                rf"{dst}/layers_\1_attn/to_kv/kernel",
+                linear_w,
+            ),
+            (
+                rf"{src}\.layers\.(\d+)\.0\.fn\.mix_heads_pre_attn",
+                rf"{dst}/layers_\1_attn/mix_heads_pre_attn",
+                identity,
+            ),
+            (
+                rf"{src}\.layers\.(\d+)\.0\.fn\.mix_heads_post_attn",
+                rf"{dst}/layers_\1_attn/mix_heads_post_attn",
+                identity,
+            ),
+        ]
+        rules += _linear(
+            rf"{src}\.layers\.(\d+)\.0\.fn\.to_out\.0", rf"{dst}/layers_\1_attn/to_out"
+        )
+        rules += _ln(
+            rf"{src}\.layers\.(\d+)\.1\.fn\.net\.0", rf"{dst}/layers_\1_ff/norm"
+        )
+        rules += _linear(
+            rf"{src}\.layers\.(\d+)\.1\.fn\.net\.1", rf"{dst}/layers_\1_ff/fc1"
+        )
+        rules += _linear(
+            rf"{src}\.layers\.(\d+)\.1\.fn\.net\.4", rf"{dst}/layers_\1_ff/fc2"
+        )
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_vit(state_dict) -> dict:
     """reference vit.py:85-138 → models/vit.py ViT params."""
     rules: list[Rule] = []
