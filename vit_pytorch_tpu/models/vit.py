@@ -41,6 +41,7 @@ class ViT(nn.Module):
     dropout: float = 0.0
     emb_dropout: float = 0.0
     flash: Optional[bool] = None
+    remat: bool = False  # rematerialize layers in backward (big-batch training)
 
     def setup(self):
         image_height, image_width = pair(self.image_size)
@@ -72,6 +73,7 @@ class ViT(nn.Module):
             mlp_dim=self.mlp_dim,
             dropout=self.dropout,
             flash=self.flash,
+            remat=self.remat,
         )
         if self.num_classes > 0:
             self.mlp_head = nn.Dense(self.num_classes)

@@ -301,6 +301,10 @@ class Transformer(nn.Module):
     flash: Optional[bool] = None
     ff_activation: str = "gelu"
     ff_glu: bool = False
+    # rematerialize each layer's activations in the backward pass — trades
+    # ~30% extra FLOPs for O(depth) less activation memory (jax.checkpoint;
+    # the TPU-native big-batch training lever, SURVEY §0)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -315,43 +319,51 @@ class Transformer(nn.Module):
         train: bool = False,
         return_hiddens: bool = False,
     ):
+        def attn_call(mdl, h):
+            # statics (train, rotary) and shared arrays (mask/bias/segments)
+            # ride in the closure; only h is checkpointed through
+            return mdl(
+                h,
+                mask=mask,
+                bias=bias,
+                q_segment_ids=q_segment_ids,
+                kv_segment_ids=kv_segment_ids,
+                rotary=rotary,
+                train=train,
+            )
+
+        def ff_call(mdl, h):
+            return mdl(h, train=train)
+
+        if self.remat:
+            attn_call = nn.remat(attn_call)
+            ff_call = nn.remat(ff_call)
+
         hiddens = []
         for i in range(self.depth):
-            x = (
-                Attention(
-                    dim=self.dim,
-                    heads=self.heads,
-                    dim_head=self.dim_head,
-                    dropout=self.dropout,
-                    qk_norm=self.qk_norm,
-                    norm_bias=self.norm_bias,
-                    out_bias=self.attn_out_bias,
-                    qkv_bias=self.qkv_bias,
-                    flash=self.flash,
-                    name=f"layers_{i}_attn",
-                )(
-                    x,
-                    mask=mask,
-                    bias=bias,
-                    q_segment_ids=q_segment_ids,
-                    kv_segment_ids=kv_segment_ids,
-                    rotary=rotary,
-                    train=train,
-                )
-                + x
+            attn = Attention(
+                dim=self.dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dropout=self.dropout,
+                qk_norm=self.qk_norm,
+                norm_bias=self.norm_bias,
+                out_bias=self.attn_out_bias,
+                qkv_bias=self.qkv_bias,
+                flash=self.flash,
+                name=f"layers_{i}_attn",
             )
-            x = (
-                FeedForward(
-                    dim=self.dim,
-                    hidden_dim=self.mlp_dim,
-                    dropout=self.dropout,
-                    activation=self.ff_activation,
-                    glu=self.ff_glu,
-                    norm_bias=self.norm_bias,
-                    name=f"layers_{i}_ff",
-                )(x, train=train)
-                + x
+            x = attn_call(attn, x) + x
+            ff = FeedForward(
+                dim=self.dim,
+                hidden_dim=self.mlp_dim,
+                dropout=self.dropout,
+                activation=self.ff_activation,
+                glu=self.ff_glu,
+                norm_bias=self.norm_bias,
+                name=f"layers_{i}_ff",
             )
+            x = ff_call(ff, x) + x
             if return_hiddens:
                 hiddens.append(x)
 

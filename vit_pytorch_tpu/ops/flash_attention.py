@@ -1,27 +1,25 @@
 """Pallas TPU flash attention with segment-id (packed-sequence) masking.
 
-Online-softmax tiled attention sized for the MXU:
+Forward: online-softmax tiles sized for the MXU — grid (batch·heads,
+q_tiles, kv_tiles) with the kv axis innermost/sequential carrying running
+max / sum / fp32 accumulator in VMEM scratch.  Optionally emits the
+log-sum-exp needed by the backward.
 
-* grid = (batch*heads, q_tiles, kv_tiles); the kv dimension is the innermost,
-  sequential ("arbitrary") grid axis and carries running max / running sum /
-  fp32 accumulator in VMEM scratch across iterations.
-* q/k/v tiles are MXU-aligned (tile sizes multiples of 128 in the lane dim,
-  q rows a multiple of the sublane tile for the dtype).
-* all matmuls accumulate in fp32 (``preferred_element_type``), inputs may be
-  bf16.
-* optional additive bias (broadcastable over batch/head — the rel-pos-bias
-  tables of MaxViT et al., reference max_vit.py:150-189).
-* optional segment ids: int32 (b, n) / (b, m); token i attends j iff
-  seg_q[i] == seg_kv[j] and both are >= 0.  This is the TPU-native form of
-  NaViT's block-diagonal attn mask (reference na_vit.py:329-342) — tiles whose
-  segment ranges cannot overlap are *skipped entirely* (block-sparse).
-* causal flag with upper-triangular tile skipping.
+Backward: full Pallas kernels (the (n, m) attention matrix NEVER touches
+HBM in either direction — this is what makes ViT-B training at batch 1024
+fit on one v5e chip, where the XLA backward's materialized matrix OOMs):
 
-Backward pass: custom VJP that recomputes attention with XLA ops (flash
-forward + rematerialized backward).  For the sequence lengths in this model
-zoo (n <= 4096) the backward is bandwidth-bound either way; rematerialization
-keeps residual memory at O(n) like the reference's
-``F.scaled_dot_product_attention`` path (na_vit.py:161).
+* ``delta = rowsum(dO ∘ O)`` — one cheap XLA reduction.
+* dq kernel: grid (bh, q_tiles, kv_tiles); per tile recomputes
+  ``p = exp(q·kᵀ·scale − lse)``, forms ``ds = p ∘ (dO·vᵀ − delta)`` and
+  accumulates ``dq += scale · ds · k``.
+* dk/dv kernel: grid (bh, kv_tiles, q_tiles); accumulates
+  ``dv += pᵀ·dO`` and ``dk += scale · dsᵀ·q``.
+
+Both support segment ids (block-diagonal NaViT masking, reference
+na_vit.py:335-337) and causal masking with tile-level skipping.  An additive
+bias falls back to the rematerialized XLA backward (bias models use tiny
+windows where XLA is already fine).
 """
 
 from __future__ import annotations
@@ -38,6 +36,7 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 
 _NEG_INF = -1e30
+_LANES = 128
 
 
 def _cdiv(a, b):
@@ -48,25 +47,39 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _flash_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    bias_ref,
-    qseg_ref,
-    kseg_ref,
-    o_ref,
-    m_scratch,
-    l_scratch,
-    acc_scratch,
-    *,
-    scale: float,
-    causal: bool,
-    block_q: int,
-    block_k: int,
-    kv_len: int,
-    has_bias: bool,
-    has_segs: bool,
+# ---------------------------------------------------------------------------
+# shared tile masking
+# ---------------------------------------------------------------------------
+
+
+def _tile_mask(qi, kj, block_q, block_k, kv_len, causal, has_segs, qseg_ref, kseg_ref):
+    """Returns the boolean tile mask (or None)."""
+    mask = None
+    col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    if kv_len % block_k != 0 or has_segs:
+        mask = col < kv_len
+    if has_segs:
+        qseg = qseg_ref[0][:, :1]  # (block_q, 1) lane-broadcast layout
+        kseg = kseg_ref[0][:1, :]  # (1, block_k) sublane-broadcast layout
+        seg_ok = (qseg == kseg) & (qseg >= 0) & (kseg >= 0)
+        mask = seg_ok if mask is None else (mask & seg_ok)
+    if causal:
+        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cm = col <= row
+        mask = cm if mask is None else (mask & cm)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref,
+    o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, scale, causal, block_q, block_k, kv_len, has_bias, has_segs, save_lse,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -78,48 +91,28 @@ def _flash_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    # tile-level skip: causal upper triangle & disjoint segment ranges
     run = True
     if causal:
         run = (kj * block_k) <= (qi * block_q + block_q - 1)
 
     def _body():
-        q = q_ref[0]  # (block_q, d)
-        k = k_ref[0]  # (block_k, d)
+        q = q_ref[0]
+        k = k_ref[0]
         v = v_ref[0]
 
         s = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * scale
-
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
         if has_bias:
             s = s + bias_ref[0].astype(jnp.float32)
 
-        mask = None
-        col = kj * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
+        mask = _tile_mask(
+            qi, kj, block_q, block_k, kv_len, causal, has_segs, qseg_ref, kseg_ref
         )
-        if kv_len % block_k != 0 or has_segs:
-            mask = col < kv_len
-        if has_segs:
-            qseg = qseg_ref[0][:, :1]  # (block_q, 1) — lane-broadcast layout
-            kseg = kseg_ref[0][:1, :]  # (1, block_k) — sublane-broadcast layout
-            seg_ok = (qseg == kseg) & (qseg >= 0) & (kseg >= 0)
-            mask = seg_ok if mask is None else (mask & seg_ok)
-        if causal:
-            row = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            cm = col <= row
-            mask = cm if mask is None else (mask & cm)
         if mask is not None:
             s = jnp.where(mask, s, _NEG_INF)
 
-        m_prev = m_scratch[:]  # (block_q, 1)
+        m_prev = m_scratch[:]
         l_prev = l_scratch[:]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -132,9 +125,7 @@ def _flash_kernel(
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
         acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scratch[:] = m_new
@@ -148,136 +139,257 @@ def _flash_kernel(
     @pl.when(kj == nk - 1)
     def _finish():
         l = l_scratch[:]
-        # fully-masked rows (padding / empty segments) → zero output
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+        if save_lse:
+            lse = m_scratch[:] + jnp.log(safe_l)
+            lse_ref[0] = jnp.broadcast_to(lse, (block_q, _LANES))
 
 
-def _flash_forward(
-    q,
-    k,
-    v,
-    bias,
-    q_segment_ids,
-    kv_segment_ids,
-    scale,
-    causal,
-    block_q,
-    block_k,
-    interpret,
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    dq_ref,
+    dq_scratch,
+    *, scale, causal, block_q, block_k, kv_len, has_segs,
 ):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    run = True
+    if causal:
+        run = (kj * block_k) <= (qi * block_q + block_q - 1)
+
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0][:, :1]      # (block_q, 1)
+        delta = delta_ref[0][:, :1]  # (block_q, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        mask = _tile_mask(
+            qi, kj, block_q, block_k, kv_len, causal, has_segs, qseg_ref, kseg_ref
+        )
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+
+        p = jnp.exp(s - lse)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+
+        dq_scratch[:] = dq_scratch[:] + scale * jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if isinstance(run, bool) and run:
+        _body()
+    elif not isinstance(run, bool):
+        pl.when(run)(_body)
+
+    @pl.when(kj == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, scale, causal, block_q, block_k, kv_len, has_segs,
+):
+    kj = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    run = True
+    if causal:
+        # q rows in this tile can only contribute if some row >= first k col
+        run = (qi * block_q + block_q - 1) >= (kj * block_k)
+
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0][:, :1]
+        delta = delta_ref[0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        mask = _tile_mask(
+            qi, kj, block_q, block_k, kv_len, causal, has_segs, qseg_ref, kseg_ref
+        )
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+
+        p = jnp.exp(s - lse)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+
+        # dv += p^T @ do
+        dv_scratch[:] = dv_scratch[:] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+
+        # dk += scale * ds^T @ q
+        dk_scratch[:] = dk_scratch[:] + scale * jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if isinstance(run, bool) and run:
+        _body()
+    elif not isinstance(run, bool):
+        pl.when(run)(_body)
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side plumbing
+# ---------------------------------------------------------------------------
+
+
+def _prep(q, k, v, q_segment_ids, kv_segment_ids, block_q, block_k):
     b, h, n, d = q.shape
     m = k.shape[2]
-
     block_q = min(block_q, _round_up(n, 128))
     block_k = min(block_k, _round_up(m, 128))
-
     n_pad = _round_up(n, block_q)
     m_pad = _round_up(m, block_k)
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, 0))).reshape(b * h, n_pad, d)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, m_pad - m), (0, 0))).reshape(b * h, m_pad, d)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, m_pad - m), (0, 0))).reshape(b * h, m_pad, d)
 
+    seg_inputs, seg_specs_q, seg_specs_k = None, None, None
+    if q_segment_ids is not None:
+        qs = jnp.pad(q_segment_ids, ((0, 0), (0, n_pad - n)), constant_values=-1)
+        ks = jnp.pad(kv_segment_ids, ((0, 0), (0, m_pad - m)), constant_values=-1)
+        qs = jnp.broadcast_to(qs[:, :, None], (b, n_pad, _LANES))
+        ks = jnp.broadcast_to(ks[:, None, :], (b, 8, m_pad))
+        seg_inputs = (qs, ks)
+    return qp, kp, vp, seg_inputs, block_q, block_k, n_pad, m_pad
+
+
+def _seg_specs(h, block_q, block_k, q_axis, k_axis):
+    """Block specs for the lane/sublane-broadcast segment-id layouts.
+    ``q_axis``/``k_axis`` give which grid axis indexes the q/k tiles."""
+
+    def q_map(g, i, j, h=h):
+        idx = (i, j)[q_axis]
+        return (jax.lax.div(g, jnp.int32(h)), idx, 0)
+
+    def k_map(g, i, j, h=h):
+        idx = (i, j)[k_axis]
+        return (jax.lax.div(g, jnp.int32(h)), 0, idx)
+
+    return (
+        pl.BlockSpec((1, block_q, _LANES), q_map),
+        pl.BlockSpec((1, 8, block_k), k_map),
+    )
+
+
+def _flash_forward(
+    q, k, v, bias, q_segment_ids, kv_segment_ids,
+    scale, causal, block_q, block_k, interpret, save_lse=False,
+):
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    qp, kp, vp, segs, block_q, block_k, n_pad, m_pad = _prep(
+        q, k, v, q_segment_ids, kv_segment_ids, block_q, block_k
+    )
     bh = b * h
-    qp = qp.reshape(bh, n_pad, d)
-    kp = kp.reshape(bh, m_pad, d)
-    vp = vp.reshape(bh, m_pad, d)
-
     grid = (bh, n_pad // block_q, m_pad // block_k)
-
     has_bias = bias is not None
-    has_segs = q_segment_ids is not None
+    has_segs = segs is not None
 
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
         pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
         pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
     ]
-
     inputs = [qp, kp, vp]
 
     if has_bias:
-        # broadcast bias to (bh, n, m) lazily via index mapping
-        bb, bhh = bias.shape[0], bias.shape[1]
         bias_full = jnp.broadcast_to(bias, (b, h, n, m)).reshape(bh, n, m)
-        bias_full = jnp.pad(
-            bias_full, ((0, 0), (0, n_pad - n), (0, m_pad - m))
-        )
-        in_specs.append(
-            pl.BlockSpec((1, block_q, block_k), lambda g, i, j: (g, i, j))
-        )
+        bias_full = jnp.pad(bias_full, ((0, 0), (0, n_pad - n), (0, m_pad - m)))
+        in_specs.append(pl.BlockSpec((1, block_q, block_k), lambda g, i, j: (g, i, j)))
         inputs.append(bias_full)
-    else:
-        in_specs.append(None)
-        inputs.append(None)
-
     if has_segs:
-        qs = jnp.pad(
-            q_segment_ids, ((0, 0), (0, n_pad - n)), constant_values=-1
-        )
-        ks = jnp.pad(
-            kv_segment_ids, ((0, 0), (0, m_pad - m)), constant_values=-1
-        )
-        # TPU tiling needs the last two block dims aligned to (8, 128):
-        # broadcast q ids into lanes (b, n, 128) and kv ids into sublanes
-        # (b, 8, m) — the kernel reads one lane / sublane back out.
-        qs = jnp.broadcast_to(qs[:, :, None], (b, n_pad, 128))
-        ks = jnp.broadcast_to(ks[:, None, :], (b, 8, m_pad))
-        # segment ids are shared across heads: index batch as g // h
-        # (lax.div — C-style division — keeps the index map a simple jaxpr)
-        in_specs.append(
-            pl.BlockSpec(
-                (1, block_q, 128),
-                lambda g, i, j, h=h: (jax.lax.div(g, jnp.int32(h)), i, 0),
-            )
-        )
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 8, block_k),
-                lambda g, i, j, h=h: (jax.lax.div(g, jnp.int32(h)), 0, j),
-            )
-        )
-        inputs.append(qs)
-        inputs.append(ks)
-    else:
-        in_specs.append(None)
-        in_specs.append(None)
-        inputs.append(None)
-        inputs.append(None)
+        qspec, kspec = _seg_specs(h, block_q, block_k, q_axis=0, k_axis=1)
+        in_specs += [qspec, kspec]
+        inputs += list(segs)
 
     kernel = functools.partial(
-        _flash_kernel,
-        scale=scale,
-        causal=causal,
-        block_q=block_q,
-        block_k=block_k,
-        kv_len=m,
-        has_bias=has_bias,
-        has_segs=has_segs,
+        _fwd_kernel,
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        kv_len=m, has_bias=has_bias, has_segs=has_segs, save_lse=save_lse,
     )
 
-    # drop unused operand slots
-    live_specs = [s for s in in_specs if s is not None]
-    live_inputs = [x for x in inputs if x is not None]
-
-    def kernel_dispatch(*refs):
-        it = iter(refs[: len(live_specs)])
-        q_r = next(it)
-        k_r = next(it)
-        v_r = next(it)
+    def dispatch(*refs):
+        it = iter(refs[: len(in_specs)])
+        q_r, k_r, v_r = next(it), next(it), next(it)
         b_r = next(it) if has_bias else None
         qs_r = next(it) if has_segs else None
         ks_r = next(it) if has_segs else None
-        o_r, m_s, l_s, a_s = refs[len(live_specs):]
-        kernel(q_r, k_r, v_r, b_r, qs_r, ks_r, o_r, m_s, l_s, a_s)
+        outs = refs[len(in_specs):]
+        if save_lse:
+            o_r, lse_r = outs[0], outs[1]
+            scratch = outs[2:]
+        else:
+            o_r, lse_r = outs[0], None
+            scratch = outs[1:]
+        kernel(q_r, k_r, v_r, b_r, qs_r, ks_r, o_r, lse_r, *scratch)
 
-    out = pl.pallas_call(
-        kernel_dispatch,
+    out_shapes = [jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0))]
+    if save_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((bh, n_pad, _LANES), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, block_q, _LANES), lambda g, i, j: (g, i, 0))
+        )
+
+    outs = pl.pallas_call(
+        dispatch,
         grid=grid,
-        in_specs=live_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs if save_lse else out_specs[0],
+        out_shape=out_shapes if save_lse else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -287,9 +399,139 @@ def _flash_forward(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*live_inputs)
+    )(*inputs)
 
-    return out.reshape(b, h, n_pad, d)[:, :, :n, :]
+    if save_lse:
+        out, lse = outs
+        return (
+            out.reshape(b, h, n_pad, d)[:, :, :n, :],
+            lse,  # padded lane-broadcast form, kept for the backward
+        )
+    return outs.reshape(b, h, n_pad, d)[:, :, :n, :]
+
+
+def _flash_backward(
+    q, k, v, q_segment_ids, kv_segment_ids, out, lse_padded, g,
+    scale, causal, block_q, block_k, interpret,
+):
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    qp, kp, vp, segs, block_q, block_k, n_pad, m_pad = _prep(
+        q, k, v, q_segment_ids, kv_segment_ids, block_q, block_k
+    )
+    bh = b * h
+    has_segs = segs is not None
+
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, n_pad - n), (0, 0))).reshape(bh, n_pad, d)
+
+    # delta = rowsum(dO * O), lane-broadcast padded layout
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (b, h, n)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, n_pad - n))).reshape(bh, n_pad)
+    delta = jnp.broadcast_to(delta[:, :, None], (bh, n_pad, _LANES))
+
+    common_inputs = [qp, kp, vp, gp, lse_padded, delta]
+
+    def base_specs(q_axis, k_axis):
+        return [
+            pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, (i, j)[q_axis], 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, (i, j)[k_axis], 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, (i, j)[k_axis], 0)),
+            pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, (i, j)[q_axis], 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda g_, i, j: (g_, (i, j)[q_axis], 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda g_, i, j: (g_, (i, j)[q_axis], 0)),
+        ]
+
+    # ---- dq: grid (bh, q_tiles, kv_tiles) ----
+    in_specs = base_specs(q_axis=0, k_axis=1)
+    inputs = list(common_inputs)
+    if has_segs:
+        qspec, kspec = _seg_specs(h, block_q, block_k, q_axis=0, k_axis=1)
+        in_specs += [qspec, kspec]
+        inputs += list(segs)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel,
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        kv_len=m, has_segs=has_segs,
+    )
+
+    def dq_dispatch(*refs):
+        it = iter(refs[: len(in_specs)])
+        args = [next(it) for _ in range(6)]
+        qs_r = next(it) if has_segs else None
+        ks_r = next(it) if has_segs else None
+        dq_r, scratch = refs[len(in_specs)], refs[len(in_specs) + 1]
+        dq_kernel(*args, qs_r, ks_r, dq_r, scratch)
+
+    dq = pl.pallas_call(
+        dq_dispatch,
+        grid=(bh, n_pad // block_q, m_pad // block_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    # ---- dk/dv: grid (bh, kv_tiles, q_tiles) ----
+    in_specs = base_specs(q_axis=1, k_axis=0)
+    inputs = list(common_inputs)
+    if has_segs:
+        qspec, kspec = _seg_specs(h, block_q, block_k, q_axis=1, k_axis=0)
+        in_specs += [qspec, kspec]
+        inputs += list(segs)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel,
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        kv_len=m, has_segs=has_segs,
+    )
+
+    def dkv_dispatch(*refs):
+        it = iter(refs[: len(in_specs)])
+        args = [next(it) for _ in range(6)]
+        qs_r = next(it) if has_segs else None
+        ks_r = next(it) if has_segs else None
+        dk_r, dv_r = refs[len(in_specs)], refs[len(in_specs) + 1]
+        dk_s, dv_s = refs[len(in_specs) + 2], refs[len(in_specs) + 3]
+        dkv_kernel(*args, qs_r, ks_r, dk_r, dv_r, dk_s, dv_s)
+
+    dk, dv = pl.pallas_call(
+        dkv_dispatch,
+        grid=(bh, m_pad // block_k, n_pad // block_q),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda g_, j, i: (g_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, j, i: (g_, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, m_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, m_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    dq = dq.reshape(b, h, n_pad, d)[:, :, :n, :]
+    dk = dk.reshape(b, h, m_pad, d)[:, :, :m, :]
+    dv = dv.reshape(b, h, m_pad, d)[:, :, :m, :]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom VJP
+# ---------------------------------------------------------------------------
 
 
 def _reference_attention(q, k, v, bias, q_segment_ids, kv_segment_ids, scale, causal):
@@ -308,9 +550,7 @@ def _reference_attention(q, k, v, bias, q_segment_ids, kv_segment_ids, scale, ca
     return xla_attention(q, k, v, scale=scale, bias=bias, mask=mask)
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10)
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _flash_attention_core(
     q, k, v, bias, q_segment_ids, kv_segment_ids, scale, causal, block_q, block_k, interpret
 ):
@@ -320,34 +560,41 @@ def _flash_attention_core(
 
 
 def _fwd(q, k, v, bias, q_segment_ids, kv_segment_ids, scale, causal, block_q, block_k, interpret):
+    if bias is None:
+        out, lse = _flash_forward(
+            q, k, v, None, q_segment_ids, kv_segment_ids,
+            scale, causal, block_q, block_k, interpret, save_lse=True,
+        )
+        return out, (q, k, v, bias, q_segment_ids, kv_segment_ids, out, lse)
     out = _flash_forward(
-        q, k, v, bias, q_segment_ids, kv_segment_ids, scale, causal, block_q, block_k, interpret
+        q, k, v, bias, q_segment_ids, kv_segment_ids,
+        scale, causal, block_q, block_k, interpret,
     )
-    return out, (q, k, v, bias, q_segment_ids, kv_segment_ids)
+    return out, (q, k, v, bias, q_segment_ids, kv_segment_ids, None, None)
 
 
 def _bwd(scale, causal, block_q, block_k, interpret, residuals, g):
-    q, k, v, bias, qs, ks = residuals
+    q, k, v, bias, qs, ks, out, lse = residuals
 
+    if bias is None:
+        dq, dk, dv = _flash_backward(
+            q, k, v, qs, ks, out, lse, g, scale, causal, block_q, block_k, interpret
+        )
+        return dq, dk, dv, None, None, None
+
+    # bias present: rematerialized XLA backward (small-window models)
     def f(q, k, v, bias):
         return _reference_attention(q, k, v, bias, qs, ks, scale, causal)
 
-    if bias is None:
-
-        def f3(q, k, v):
-            return _reference_attention(q, k, v, None, qs, ks, scale, causal)
-
-        dq, dk, dv = jax.vjp(f3, q, k, v)[1](g)
-        dbias = None
-    else:
-        dq, dk, dv, dbias_full = jax.vjp(f, q, k, v, bias)[1](g)
-        # re-reduce over broadcast dims
-        dbias = dbias_full
-        reduce_axes = tuple(
-            i for i, (s, fs) in enumerate(zip(bias.shape, dbias_full.shape)) if s == 1 and fs != 1
-        )
-        if reduce_axes:
-            dbias = jnp.sum(dbias_full, axis=reduce_axes, keepdims=True)
+    dq, dk, dv, dbias_full = jax.vjp(f, q, k, v, bias)[1](g)
+    dbias = dbias_full
+    reduce_axes = tuple(
+        i
+        for i, (s, fs) in enumerate(zip(bias.shape, dbias_full.shape))
+        if s == 1 and fs != 1
+    )
+    if reduce_axes:
+        dbias = jnp.sum(dbias_full, axis=reduce_axes, keepdims=True)
     return dq, dk, dv, dbias, None, None
 
 
@@ -376,21 +623,11 @@ def flash_attention(
 
         interpret = not on_tpu()
     if bias is not None:
-        # normalize bias rank to (b|1, h|1, n, m)
         while bias.ndim < 4:
             bias = bias[None]
     if (q_segment_ids is None) != (kv_segment_ids is None):
         raise ValueError("segment ids must be given for both q and kv")
     return _flash_attention_core(
-        q,
-        k,
-        v,
-        bias,
-        q_segment_ids,
-        kv_segment_ids,
-        float(scale),
-        causal,
-        block_q,
-        block_k,
-        interpret,
+        q, k, v, bias, q_segment_ids, kv_segment_ids,
+        float(scale), causal, block_q, block_k, interpret,
     )

@@ -307,16 +307,44 @@ def convert_cait(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def vit_rules(src: str = "", dst: str = "") -> list[Rule]:
+    """reference vit.py:85-138 → models/vit.py ViT params.  ``src``/``dst``
+    prefix the torch keys / flax paths (used when the ViT is a submodule,
+    e.g. MAE's ``encoder.``)."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules(rf"{src}to_patch_embedding", f"{dst}patch_embedding")
+    rules += [
+        (rf"{src}cls_token", f"{dst}cls_token", identity),
+        (rf"{src}pos_embedding", f"{dst}pos_embedding", identity),
+    ]
+    rules += transformer_rules(rf"{src}transformer", f"{dst}transformer")
+    rules += _linear(rf"{src}mlp_head", f"{dst}mlp_head")
+    return rules
+
+
 def convert_vit(state_dict) -> dict:
     """reference vit.py:85-138 → models/vit.py ViT params."""
+    return apply_rules(state_dict, vit_rules())
+
+
+def convert_mae(state_dict) -> dict:
+    """reference mae.py:8-41 MAE(encoder=ViT, ...) → ssl/mae.py MAE params.
+
+    Covers: the wrapped ViT encoder (prefixed ``encoder.``), enc→dec
+    projection (absent when dims match, mae.py:36), mask token, decoder
+    Transformer (vit.py:66-83 layout), decoder pos Embedding, to_pixels."""
     rules: list[Rule] = []
-    rules += patch_embed_rules()
+    rules += vit_rules(r"encoder\.", "encoder/")
+    # patch_to_emb re-registers encoder.to_patch_embedding[1:] (mae.py:29-30)
+    # -- same tensors, duplicate keys
+    rules += [(r"patch_to_emb\..*", "<drop>", identity)]
+    rules += _linear("enc_to_dec", "enc_to_dec")
     rules += [
-        ("cls_token", "cls_token", identity),
-        ("pos_embedding", "pos_embedding", identity),
+        ("mask_token", "mask_token", identity),
+        (r"decoder_pos_emb\.weight", "decoder_pos_emb/embedding", identity),
     ]
-    rules += transformer_rules()
-    rules += _linear("mlp_head", "mlp_head")
+    rules += transformer_rules("decoder", "decoder")
+    rules += _linear("to_pixels", "to_pixels")
     return apply_rules(state_dict, rules)
 
 
