@@ -414,6 +414,214 @@ def convert_na_vit(state_dict) -> dict:
     return apply_rules(sd, rules)
 
 
+def convert_small_dataset_vit(state_dict) -> dict:
+    """reference vit_for_small_dataset.py:98-140 → models/vit_for_small_dataset.py
+    (SPT patch tokens, LSA learned-temperature attention)."""
+    rules: list[Rule] = [
+        (r"to_patch_embedding\.to_patch_tokens\.1\.weight", "patch_embedding/norm/scale", identity),
+        (r"to_patch_embedding\.to_patch_tokens\.1\.bias", "patch_embedding/norm/bias", identity),
+        (r"to_patch_embedding\.to_patch_tokens\.2\.weight", "patch_embedding/proj/kernel", linear_w),
+        (r"to_patch_embedding\.to_patch_tokens\.2\.bias", "patch_embedding/proj/bias", identity),
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+        (r"transformer\.layers\.(\d+)\.0\.temperature", r"layers_\1_attn/temperature", identity),
+    ]
+    rules += _ln(r"transformer\.layers\.(\d+)\.0\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (r"transformer\.layers\.(\d+)\.0\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+    ]
+    rules += _linear(r"transformer\.layers\.(\d+)\.0\.to_out\.0", r"layers_\1_attn/to_out")
+    rules += _ln(r"transformer\.layers\.(\d+)\.1\.net\.0", r"layers_\1_ff/norm")
+    rules += _linear(r"transformer\.layers\.(\d+)\.1\.net\.1", r"layers_\1_ff/fc1")
+    rules += _linear(r"transformer\.layers\.(\d+)\.1\.net\.4", r"layers_\1_ff/fc2")
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_pit(state_dict) -> dict:
+    """reference pit.py:117-182 → models/pit.py.
+
+    The torch model interleaves Transformers and Pools in one Sequential
+    (``layers.0`` = stage-0 transformer, ``layers.1`` = stage-0 pool, ...,
+    pit.py:152-164); rename to stage-keyed names first, then map."""
+    sd = {}
+    for key, t in state_dict.items():
+        m = re.match(r"layers\.(\d+)\.(.*)", key)
+        if m:
+            idx, rest = int(m.group(1)), m.group(2)
+            if idx % 2 == 0:
+                key = f"stage_{idx // 2}_transformer.{rest}"
+            else:
+                key = f"stage_{idx // 2}_pool.{rest}"
+        sd[key] = t
+
+    rules: list[Rule] = [
+        (r"to_patch_embedding\.2\.weight", "patch_proj/kernel", linear_w),
+        (r"to_patch_embedding\.2\.bias", "patch_proj/bias", identity),
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    # stage transformers: reference pit.py Transformer has no final norm.
+    # concrete per-stage rules (a (\d+) group in the prefix would shift the
+    # layer-index backref inside transformer_rules)
+    stages = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"stage_(\d+)_transformer\.", k))
+        }
+    )
+    for s in stages:
+        rules += transformer_rules(
+            rf"stage_{s}_transformer", f"stage_{s}_transformer"
+        )[:-2]
+    rules += [
+        (r"stage_(\d+)_pool\.downsample\.net\.0\.weight", r"stage_\1_pool/downsample/depthwise/kernel", conv2d_w),
+        (r"stage_(\d+)_pool\.downsample\.net\.0\.bias", r"stage_\1_pool/downsample/depthwise/bias", identity),
+        (r"stage_(\d+)_pool\.downsample\.net\.1\.weight", r"stage_\1_pool/downsample/pointwise/kernel", conv2d_w),
+        (r"stage_(\d+)_pool\.downsample\.net\.1\.bias", r"stage_\1_pool/downsample/pointwise/bias", identity),
+    ]
+    rules += _linear(r"stage_(\d+)_pool\.cls_ff", r"stage_\1_pool/cls_ff")
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(sd, rules)
+
+
+def convert_t2t(state_dict) -> dict:
+    """reference t2t.py:26-66 → models/t2t.py T2TViT.
+
+    ``to_patch_embedding`` is a flat Sequential of [RearrangeImage?, Unfold,
+    Rearrange, Transformer?] groups plus a final Linear (t2t.py:36-48): the
+    mini-transformer of group i sits at index 4i+3, the projection at the
+    highest index."""
+    rules: list[Rule] = [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    tf_idx = sorted(
+        {
+            int(m.group(1))
+            for k in state_dict
+            if (m := re.match(r"to_patch_embedding\.(\d+)\.layers\.", k))
+        }
+    )
+    for idx in tf_idx:
+        group = (idx - 3) // 4
+        rules += transformer_rules(
+            rf"to_patch_embedding\.{idx}", f"t2t_transformer_{group}"
+        )
+    proj_idx = max(
+        int(m.group(1))
+        for k in state_dict
+        if (m := re.fullmatch(r"to_patch_embedding\.(\d+)\.weight", k))
+    )
+    rules += _linear(rf"to_patch_embedding\.{proj_idx}", "t2t_proj")
+    rules += transformer_rules()
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def _cross_vit_attention_rules(src: str, dst: str) -> list[Rule]:
+    """cross_vit.py:34-71 Attention: split to_q / to_kv, to_out.0 Linear."""
+    rules = _ln(rf"{src}\.norm", rf"{dst}/norm")
+    rules += [
+        (rf"{src}\.to_q\.weight", rf"{dst}/to_q/kernel", linear_w),
+        (rf"{src}\.to_kv\.weight", rf"{dst}/to_kv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{src}\.to_out\.0", rf"{dst}/to_out")
+    return rules
+
+
+def convert_cross_vit(state_dict) -> dict:
+    """reference cross_vit.py:204-271 → models/cross_vit.py CrossViT."""
+    # per-scale encoder self-attention: fuse to_q/to_kv into our single qkv
+    # GEMM; the cross-attention blocks (layers.i.2...) keep split projections
+    sd = dict(state_dict)
+    for key in list(sd.keys()):
+        m = re.fullmatch(
+            r"(multi_scale_encoder\.layers\.\d+\.[01]\.layers\.\d+\.0)\.to_q\.weight",
+            key,
+        )
+        if m:
+            base = m.group(1)
+            q = _np(sd.pop(key))
+            kv = _np(sd.pop(base + ".to_kv.weight"))
+            sd[base + ".to_qkv.weight"] = np.concatenate([q, kv], axis=0)
+    state_dict = sd
+    rules: list[Rule] = []
+    for scale in ("sm", "lg"):
+        emb = rf"{scale}_image_embedder"
+        rules += patch_embed_rules(
+            rf"{emb}\.to_patch_embedding", f"{emb}/patch_embedding"
+        )
+        rules += [
+            (rf"{emb}\.cls_token", f"{emb}/cls_token", identity),
+            (rf"{emb}\.pos_embedding", f"{emb}/pos_embedding", identity),
+        ]
+        rules += _ln(rf"{scale}_mlp_head\.0", f"{scale}_head_norm")
+        rules += _linear(rf"{scale}_mlp_head\.1", f"{scale}_mlp_head")
+
+    depth = sorted(
+        {
+            int(m.group(1))
+            for k in state_dict
+            if (m := re.match(r"multi_scale_encoder\.layers\.(\d+)\.", k))
+        }
+    )
+    for i in depth:
+        enc = rf"multi_scale_encoder\.layers\.{i}"
+        # per-scale encoders: cross_vit's Transformer uses split to_q/to_kv
+        # attention (cross_vit.py:60) unlike vit.py's fused to_qkv
+        for seq, name in ((0, "sm"), (1, "lg")):
+            src, dst = rf"{enc}\.{seq}", f"encoder_{i}_{name}"
+            rules += [
+                (
+                    rf"{src}\.layers\.(\d+)\.0\.to_qkv\.weight",
+                    rf"{dst}/layers_\1_attn/to_qkv/kernel",
+                    linear_w,
+                ),
+            ]
+            rules += _ln(rf"{src}\.layers\.(\d+)\.0\.norm", rf"{dst}/layers_\1_attn/norm")
+            rules += _linear(
+                rf"{src}\.layers\.(\d+)\.0\.to_out\.0", rf"{dst}/layers_\1_attn/to_out"
+            )
+            rules += _ln(rf"{src}\.layers\.(\d+)\.1\.net\.0", rf"{dst}/layers_\1_ff/norm")
+            rules += _linear(rf"{src}\.layers\.(\d+)\.1\.net\.1", rf"{dst}/layers_\1_ff/fc1")
+            rules += _linear(rf"{src}\.layers\.(\d+)\.1\.net\.4", rf"{dst}/layers_\1_ff/fc2")
+            rules += _ln(rf"{src}\.norm", rf"{dst}/norm")
+        # cross transformer
+        src, dst = rf"{enc}\.2", f"encoder_{i}_cross"
+        for side, attn in (("sm", "sm_attend_lg"), ("lg", "lg_attend_sm")):
+            seq = 0 if side == "sm" else 1
+            rules += [
+                (
+                    rf"{src}\.layers\.(\d+)\.{seq}\.project_in\.weight",
+                    rf"{dst}/layers_\1_{side}_proj_in/kernel",
+                    linear_w,
+                ),
+                (
+                    rf"{src}\.layers\.(\d+)\.{seq}\.project_in\.bias",
+                    rf"{dst}/layers_\1_{side}_proj_in/bias",
+                    identity,
+                ),
+                (
+                    rf"{src}\.layers\.(\d+)\.{seq}\.project_out\.weight",
+                    rf"{dst}/layers_\1_{side}_proj_out/kernel",
+                    linear_w,
+                ),
+                (
+                    rf"{src}\.layers\.(\d+)\.{seq}\.project_out\.bias",
+                    rf"{dst}/layers_\1_{side}_proj_out/bias",
+                    identity,
+                ),
+            ]
+            rules += _cross_vit_attention_rules(
+                rf"{src}\.layers\.(\d+)\.{seq}\.fn", rf"{dst}/layers_\1_{attn}"
+            )
+    return apply_rules(state_dict, rules)
+
+
 def _bn(src: str, dst: str) -> list[Rule]:
     return [
         (rf"{src}\.weight", rf"{dst}/scale", identity),
@@ -429,6 +637,134 @@ def _conv(src: str, dst: str, bias: bool = True) -> list[Rule]:
     if bias:
         rules.append((rf"{src}\.bias", rf"{dst}/bias", identity))
     return rules
+
+
+def convert_cct(state_dict, *, sine_pos: bool = False) -> dict:
+    """reference cct.py:306-344 → models/cct.py CCT.
+
+    ``sine_pos``: drop the (non-learnable but registered) sinusoidal
+    positional parameter (cct.py:248) — our model builds it at trace time."""
+    rules: list[Rule] = [
+        (r"tokenizer\.conv_layers\.(\d+)\.0\.weight", r"tokenizer/conv_\1/kernel", conv2d_w),
+        (r"tokenizer\.conv_layers\.(\d+)\.0\.bias", r"tokenizer/conv_\1/bias", identity),
+        (
+            r"classifier\.positional_emb",
+            "<drop>" if sine_pos else "classifier/positional_emb",
+            identity,
+        ),
+        (r"classifier\.class_emb", "classifier/class_emb", identity),
+    ]
+    blk = r"classifier\.blocks\.(\d+)"
+    dst = r"classifier/blocks_\1"
+    rules += _ln(rf"{blk}\.pre_norm", rf"{dst}/pre_norm")
+    rules += [
+        (rf"{blk}\.self_attn\.qkv\.weight", rf"{dst}/self_attn/qkv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{blk}\.self_attn\.proj", rf"{dst}/self_attn/proj")
+    rules += _ln(rf"{blk}\.norm1", rf"{dst}/norm1")
+    rules += _linear(rf"{blk}\.linear1", rf"{dst}/linear1")
+    rules += _linear(rf"{blk}\.linear2", rf"{dst}/linear2")
+    rules += _ln(r"classifier\.norm", "classifier/norm")
+    rules += _linear(r"classifier\.attention_pool", "classifier/attention_pool")
+    rules += _linear(r"classifier\.fc", "classifier/fc")
+    return apply_rules(state_dict, rules)
+
+
+def convert_levit(state_dict) -> dict:
+    """reference levit.py:139-201 → models/levit.py LeViT (1×1-conv q/k/v with
+    BatchNorm, rel-pos Embedding bias, hardswish conv-FFN).
+
+    ``backbone`` alternates stage transformers and downsample transformers
+    (levit.py:176-184): even index → ``stage_{i}``, odd → ``stage_{i}_downsample``."""
+    sd = {}
+    for key, t in state_dict.items():
+        m = re.match(r"backbone\.(\d+)\.(.*)", key)
+        if m:
+            idx, rest = int(m.group(1)), m.group(2)
+            name = f"stage_{idx // 2}" + ("_downsample" if idx % 2 else "")
+            key = f"{name}.{rest}"
+        sd[key] = t
+
+    rules: list[Rule] = [
+        (r"conv_embedding\.(\d+)\.weight", r"conv_embedding_\1/kernel", conv2d_w),
+        (r"conv_embedding\.(\d+)\.bias", r"conv_embedding_\1/bias", identity),
+        (r".*\.pos_indices", "<drop>", identity),
+    ]
+    attn = r"(stage_\d+(?:_downsample)?)\.layers\.(\d+)\.0"
+    dattn = r"\1/layers_\2_attn"
+    for proj in ("q", "k", "v"):
+        rules += [
+            (rf"{attn}\.to_{proj}\.0\.weight", rf"{dattn}/to_{proj}/kernel", conv2d_w),
+        ]
+        rules += _bn(rf"{attn}\.to_{proj}\.1", rf"{dattn}/{proj}_bn")
+    rules += [
+        (rf"{attn}\.to_out\.1\.weight", rf"{dattn}/out_conv/kernel", conv2d_w),
+        (rf"{attn}\.to_out\.1\.bias", rf"{dattn}/out_conv/bias", identity),
+        (rf"{attn}\.pos_bias\.weight", rf"{dattn}/pos_bias", identity),
+    ]
+    rules += _bn(rf"{attn}\.to_out\.2", rf"{dattn}/out_bn")
+    ff = r"(stage_\d+(?:_downsample)?)\.layers\.(\d+)\.1"
+    dff = r"\1/layers_\2_ff"
+    rules += [
+        (rf"{ff}\.net\.0\.weight", rf"{dff}/conv1/kernel", conv2d_w),
+        (rf"{ff}\.net\.0\.bias", rf"{dff}/conv1/bias", identity),
+        (rf"{ff}\.net\.3\.weight", rf"{dff}/conv2/kernel", conv2d_w),
+        (rf"{ff}\.net\.3\.bias", rf"{dff}/conv2/bias", identity),
+    ]
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(sd, rules)
+
+
+def convert_xcit(state_dict) -> dict:
+    """reference xcit.py:190-264 → models/xcit.py XCiT (cross-covariance
+    attention with LayerScale, LPI depthwise-conv blocks, cls cross-attention
+    stage)."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    x = r"xcit_transformer\.layers\.(\d+)"
+    rules += [
+        (rf"{x}\.0\.scale", r"xca_\1_attn_scale", identity),
+        (rf"{x}\.0\.fn\.temperature", r"xca_\1_attn/temperature", identity),
+        (rf"{x}\.0\.fn\.to_qkv\.weight", r"xca_\1_attn/to_qkv/kernel", linear_w),
+    ]
+    rules += _ln(rf"{x}\.0\.fn\.norm", r"xca_\1_attn/norm")
+    rules += _linear(rf"{x}\.0\.fn\.to_out\.0", r"xca_\1_attn/to_out")
+    # LPI: LN → depthwise conv → BN → act → conv (xcit.py:151-171)
+    rules += [(rf"{x}\.1\.scale", r"xca_\1_lpi_scale", identity)]
+    rules += _ln(rf"{x}\.1\.fn\.net\.0", r"xca_\1_lpi/norm")
+    rules += [
+        (rf"{x}\.1\.fn\.net\.2\.weight", r"xca_\1_lpi/conv1/kernel", conv2d_w),
+        (rf"{x}\.1\.fn\.net\.2\.bias", r"xca_\1_lpi/conv1/bias", identity),
+        (rf"{x}\.1\.fn\.net\.5\.weight", r"xca_\1_lpi/conv2/kernel", conv2d_w),
+        (rf"{x}\.1\.fn\.net\.5\.bias", r"xca_\1_lpi/conv2/bias", identity),
+    ]
+    rules += _bn(rf"{x}\.1\.fn\.net\.3", r"xca_\1_lpi/bn")
+    rules += [(rf"{x}\.2\.scale", r"xca_\1_ff_scale", identity)]
+    rules += _ln(rf"{x}\.2\.fn\.net\.0", r"xca_\1_ff/norm")
+    rules += _linear(rf"{x}\.2\.fn\.net\.1", r"xca_\1_ff/fc1")
+    rules += _linear(rf"{x}\.2\.fn\.net\.4", r"xca_\1_ff/fc2")
+
+    c = r"cls_transformer\.layers\.(\d+)"
+    rules += [
+        (rf"{c}\.0\.scale", r"cls_\1_attn_scale", identity),
+        (rf"{c}\.0\.fn\.to_q\.weight", r"cls_\1_attn/to_q/kernel", linear_w),
+        (rf"{c}\.0\.fn\.to_kv\.weight", r"cls_\1_attn/to_kv/kernel", linear_w),
+    ]
+    rules += _ln(rf"{c}\.0\.fn\.norm", r"cls_\1_attn/norm")
+    rules += _linear(rf"{c}\.0\.fn\.to_out\.0", r"cls_\1_attn/to_out")
+    rules += [(rf"{c}\.1\.scale", r"cls_\1_ff_scale", identity)]
+    rules += _ln(rf"{c}\.1\.fn\.net\.0", r"cls_\1_ff/norm")
+    rules += _linear(rf"{c}\.1\.fn\.net\.1", r"cls_\1_ff/fc1")
+    rules += _linear(rf"{c}\.1\.fn\.net\.4", r"cls_\1_ff/fc2")
+
+    rules += _ln("final_norm", "final_norm")
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
 
 
 def convert_max_vit(state_dict) -> dict:
@@ -470,6 +806,107 @@ def convert_max_vit(state_dict) -> dict:
 
     rules += _ln(r"mlp_head\.1", "head_norm")
     rules += _linear(r"mlp_head\.2", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def flat_ln(t):
+    """twins_svt.py:33-38 custom channel-first LayerNorm params (1,d,1,1) →
+    flax LayerNorm (d,)."""
+    return _np(t).reshape(-1)
+
+
+def convert_twins_svt(state_dict) -> dict:
+    """reference twins_svt.py:178-244 → models/twins_svt.py TwinsSVT.
+
+    Each stage is Sequential(PatchEmbedding, Transformer, PEG, Transformer)
+    (twins_svt.py:217-222); the trunk ends AdaptiveAvgPool → Linear
+    (layers.6)."""
+    sd = {}
+    for key, t in state_dict.items():
+        m = re.match(r"layers\.(\d+)\.(\d+)\.(.*)", key)
+        if m and int(m.group(1)) <= 3:
+            s, seq, rest = int(m.group(1)) + 1, int(m.group(2)), m.group(3)
+            part = {0: "embed", 1: "transformer_pre", 2: "peg", 3: "transformer"}[seq]
+            key = f"s{s}_{part}.{rest}"
+        sd[key] = t
+
+    rules: list[Rule] = [
+        (r"(s\d+)_embed\.proj\.0\.g", r"\1_embed/norm_pre/scale", flat_ln),
+        (r"(s\d+)_embed\.proj\.0\.b", r"\1_embed/norm_pre/bias", flat_ln),
+        (r"(s\d+)_embed\.proj\.1\.weight", r"\1_embed/proj/kernel", conv2d_w),
+        (r"(s\d+)_embed\.proj\.1\.bias", r"\1_embed/proj/bias", identity),
+        (r"(s\d+)_embed\.proj\.2\.g", r"\1_embed/norm_post/scale", flat_ln),
+        (r"(s\d+)_embed\.proj\.2\.b", r"\1_embed/norm_post/bias", flat_ln),
+        (r"(s\d+)_peg\.proj\.fn\.weight", r"\1_peg/proj/kernel", conv2d_w),
+        (r"(s\d+)_peg\.proj\.fn\.bias", r"\1_peg/proj/bias", identity),
+        (r"layers\.6\.weight", "head/kernel", linear_w),
+        (r"layers\.6\.bias", "head/bias", identity),
+    ]
+    tf = r"(s\d+_transformer(?:_pre)?)\.layers\.(\d+)"
+    for seq, kind in ((0, "local_attn"), (2, "global_attn")):
+        a, d = rf"{tf}\.{seq}\.fn", rf"\1/layers_\2_{kind}"
+        rules += [
+            (rf"{a}\.norm\.g", rf"{d}/norm/scale", flat_ln),
+            (rf"{a}\.norm\.b", rf"{d}/norm/bias", flat_ln),
+            (rf"{a}\.to_q\.weight", rf"{d}/to_q/kernel", conv2d_w),
+            (rf"{a}\.to_kv\.weight", rf"{d}/to_kv/kernel", conv2d_w),
+            (rf"{a}\.to_out\.0\.weight", rf"{d}/to_out/kernel", conv2d_w),
+            (rf"{a}\.to_out\.0\.bias", rf"{d}/to_out/bias", identity),
+        ]
+    for seq, kind in ((1, "ff1"), (3, "ff2")):
+        f, d = rf"{tf}\.{seq}\.fn\.net", rf"\1/layers_\2_{kind}"
+        rules += [
+            (rf"{f}\.0\.g", rf"{d}/norm/scale", flat_ln),
+            (rf"{f}\.0\.b", rf"{d}/norm/bias", flat_ln),
+            (rf"{f}\.1\.weight", rf"{d}/conv1/kernel", conv2d_w),
+            (rf"{f}\.1\.bias", rf"{d}/conv1/bias", identity),
+            (rf"{f}\.4\.weight", rf"{d}/conv2/kernel", conv2d_w),
+            (rf"{f}\.4\.bias", rf"{d}/conv2/bias", identity),
+        ]
+    return apply_rules(sd, rules)
+
+
+def convert_mobile_vit(state_dict) -> dict:
+    """reference mobile_vit.py:180-243 → models/mobile_vit.py MobileViT
+    (conv-bn-SiLU stem, MV2 inverted-residual blocks, MobileViT blocks with
+    per-patch transformers, conv+pool+Linear head)."""
+
+    def _convbn(src: str, dst: str) -> list[Rule]:
+        return [
+            (rf"{src}\.0\.weight", rf"{dst}/conv/kernel", conv2d_w),
+        ] + _bn(rf"{src}\.1", rf"{dst}/bn")
+
+    def _mv2(src: str, dst: str) -> list[Rule]:
+        # MV2Block conv Sequential: pw 0 / bn 1 / dw 3 / bn 4 / pw-linear 6 /
+        # bn 7 (mobile_vit.py:96-116, expansion > 1)
+        rules = [
+            (rf"{src}\.conv\.0\.weight", rf"{dst}/pw/kernel", conv2d_w),
+            (rf"{src}\.conv\.3\.weight", rf"{dst}/dw/kernel", conv2d_w),
+            (rf"{src}\.conv\.6\.weight", rf"{dst}/pw_linear/kernel", conv2d_w),
+        ]
+        rules += _bn(rf"{src}\.conv\.1", rf"{dst}/pw_bn")
+        rules += _bn(rf"{src}\.conv\.4", rf"{dst}/dw_bn")
+        rules += _bn(rf"{src}\.conv\.7", rf"{dst}/pw_linear_bn")
+        return rules
+
+    rules: list[Rule] = []
+    rules += _convbn("conv1", "conv1")
+    rules += _mv2(r"stem\.(\d+)", r"stem_\1")
+    rules += _mv2(r"trunk\.(\d+)\.0", r"trunk_\1_mv2")
+    trunk_ids = sorted(
+        {
+            int(m.group(1))
+            for k in state_dict
+            if (m := re.match(r"trunk\.(\d+)\.1\.", k))
+        }
+    )
+    for i in trunk_ids:
+        mvit, dmvit = rf"trunk\.{i}\.1", f"trunk_{i}_mvit"
+        for c in ("conv1", "conv2", "conv3", "conv4"):
+            rules += _convbn(rf"{mvit}\.{c}", rf"{dmvit}/{c}")
+        rules += transformer_rules(rf"{mvit}\.transformer", rf"{dmvit}/transformer")[:-2]
+    rules += _convbn(r"to_logits\.0", "to_logits_conv")
+    rules += [(r"to_logits\.2\.weight", "to_logits/kernel", linear_w)]
     return apply_rules(state_dict, rules)
 
 
