@@ -75,6 +75,35 @@ def _tile_mask(qi, kj, block_q, block_k, kv_len, causal, has_segs, qseg_ref, kse
 # ---------------------------------------------------------------------------
 
 
+def _seg_overlap(qseg_ref, kseg_ref):
+    """Scalar tile-skip test: can ANY (q, k) pair in this tile share a
+    segment?  Range-overlap on the blocks' segment ids (ignoring -1 padding)
+    is conservative for arbitrary layouts and exact for packed sequences,
+    whose ids are monotonic (ops/packing.py appends images in order) — this
+    is the block-sparse skip of cross-segment tiles (SURVEY §5 long-context):
+    at NaViT's max_seq_len=2048 most tiles are fully off-diagonal and their
+    matmuls never issue."""
+    qseg = qseg_ref[0][:, :1]
+    kseg = kseg_ref[0][:1, :]
+    big = jnp.int32(2**30)
+    qmax = jnp.max(qseg)
+    kmax = jnp.max(kseg)
+    qmin = jnp.min(jnp.where(qseg >= 0, qseg, big))
+    kmin = jnp.min(jnp.where(kseg >= 0, kseg, big))
+    return (qmax >= 0) & (kmax >= 0) & (qmin <= kmax) & (kmin <= qmax)
+
+
+def _run_guard(body, conds):
+    """Run ``body`` under pl.when(all conds); plain call when unconditional."""
+    if not conds:
+        body()
+        return
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    pl.when(cond)(body)
+
+
 def _fwd_kernel(
     q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref,
     o_ref, lse_ref,
@@ -91,9 +120,11 @@ def _fwd_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    run = True
+    conds = []
     if causal:
-        run = (kj * block_k) <= (qi * block_q + block_q - 1)
+        conds.append((kj * block_k) <= (qi * block_q + block_q - 1))
+    if has_segs:
+        conds.append(_seg_overlap(qseg_ref, kseg_ref))
 
     def _body():
         q = q_ref[0]
@@ -131,10 +162,7 @@ def _fwd_kernel(
         m_scratch[:] = m_new
         l_scratch[:] = l_new
 
-    if isinstance(run, bool) and run:
-        _body()
-    elif not isinstance(run, bool):
-        pl.when(run)(_body)
+    _run_guard(_body, conds)
 
     @pl.when(kj == nk - 1)
     def _finish():
@@ -165,9 +193,11 @@ def _bwd_dq_kernel(
     def _init():
         dq_scratch[:] = jnp.zeros_like(dq_scratch)
 
-    run = True
+    conds = []
     if causal:
-        run = (kj * block_k) <= (qi * block_q + block_q - 1)
+        conds.append((kj * block_k) <= (qi * block_q + block_q - 1))
+    if has_segs:
+        conds.append(_seg_overlap(qseg_ref, kseg_ref))
 
     def _body():
         q = q_ref[0]
@@ -200,10 +230,7 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if isinstance(run, bool) and run:
-        _body()
-    elif not isinstance(run, bool):
-        pl.when(run)(_body)
+    _run_guard(_body, conds)
 
     @pl.when(kj == nk - 1)
     def _finish():
@@ -225,10 +252,12 @@ def _bwd_dkv_kernel(
         dk_scratch[:] = jnp.zeros_like(dk_scratch)
         dv_scratch[:] = jnp.zeros_like(dv_scratch)
 
-    run = True
+    conds = []
     if causal:
         # q rows in this tile can only contribute if some row >= first k col
-        run = (qi * block_q + block_q - 1) >= (kj * block_k)
+        conds.append((qi * block_q + block_q - 1) >= (kj * block_k))
+    if has_segs:
+        conds.append(_seg_overlap(qseg_ref, kseg_ref))
 
     def _body():
         q = q_ref[0]
@@ -268,10 +297,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if isinstance(run, bool) and run:
-        _body()
-    elif not isinstance(run, bool):
-        pl.when(run)(_body)
+    _run_guard(_body, conds)
 
     @pl.when(qi == nq - 1)
     def _finish():
