@@ -1,0 +1,133 @@
+"""Parity tests batch 5: simple-ViT family variants + patch merger."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+def _check(got, expected, atol=5e-5, rtol=1e-3):
+    np.testing.assert_allclose(np.asarray(got), expected, atol=atol, rtol=rtol)
+
+
+@pytest.mark.parity
+def test_simple_vit_1d_parity(reference, torch):
+    from vit_pytorch.simple_vit_1d import SimpleViT as Ref
+    from vit_pytorch_tpu.models.simple_vit_1d import SimpleViT
+    from vit_pytorch_tpu.utils.convert import convert_simple_vit_1d
+
+    kw = dict(seq_len=64, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 64)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = SimpleViT(**kw).apply(convert_simple_vit_1d(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_simple_vit_3d_parity(reference, torch):
+    from vit_pytorch.simple_vit_3d import SimpleViT as Ref
+    from vit_pytorch_tpu.models.simple_vit_3d import SimpleViT
+    from vit_pytorch_tpu.utils.convert import convert_simple_vit_3d
+
+    kw = dict(image_size=32, image_patch_size=8, frames=4, frame_patch_size=2,
+              num_classes=7, dim=32, depth=2, heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 4, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = SimpleViT(**kw).apply(convert_simple_vit_3d(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_simple_vit_register_tokens_parity(reference, torch):
+    from vit_pytorch.simple_vit_with_register_tokens import SimpleViT as Ref
+    from vit_pytorch_tpu.models.simple_vit_with_register_tokens import SimpleViT
+    from vit_pytorch_tpu.utils.convert import convert_simple_vit_with_register_tokens
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64, num_register_tokens=3)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = SimpleViT(**kw).apply(
+        convert_simple_vit_with_register_tokens(ref.state_dict()), jnp.asarray(x.numpy())
+    )
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_vit_with_patch_merger_parity(reference, torch):
+    from vit_pytorch.vit_with_patch_merger import ViT as Ref
+    from vit_pytorch_tpu.models.vit_with_patch_merger import ViT
+    from vit_pytorch_tpu.utils.convert import convert_vit_with_patch_merger
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=4,
+              heads=2, dim_head=16, mlp_dim=64, patch_merge_layer=1,
+              patch_merge_num_tokens=4)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = ViT(**kw).apply(
+        convert_vit_with_patch_merger(ref.state_dict()), jnp.asarray(x.numpy())
+    )
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_look_vit_parity(reference, torch):
+    from vit_pytorch.look_vit import LookViT as Ref
+    from vit_pytorch_tpu.models.look_vit import LookViT
+    from vit_pytorch_tpu.utils.convert import convert_look_vit
+
+    kw = dict(dim=32, image_size=32, num_classes=7, depth=2, patch_size=8,
+              heads=2, dim_head=16, mlp_factor=2, highres_patch_size=4,
+              dropout=0.0)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = LookViT(**kw).apply(convert_look_vit(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_jumbo_vit_parity(reference, torch):
+    from vit_pytorch.jumbo_vit import JumboViT as Ref
+    from vit_pytorch_tpu.models.jumbo_vit import JumboViT
+    from vit_pytorch_tpu.utils.convert import convert_jumbo_vit
+
+    kw = dict(num_classes=7, image_size=32, patch_size=8, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64, num_jumbo_cls=1,
+              jumbo_ff_mult=2, jumbo_cls_k=2)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = JumboViT(**kw).apply(convert_jumbo_vit(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_cvt_parity(reference, torch):
+    from vit_pytorch.cvt import CvT as Ref
+    from vit_pytorch_tpu.models.cvt import CvT
+    from vit_pytorch_tpu.utils.convert import convert_cvt
+
+    kw = dict(num_classes=7, s1_emb_dim=16, s1_emb_kernel=7, s1_emb_stride=4,
+              s1_proj_kernel=3, s1_kv_proj_stride=2, s1_heads=1, s1_depth=1,
+              s1_mlp_mult=2, s2_emb_dim=32, s2_emb_kernel=3, s2_emb_stride=2,
+              s2_proj_kernel=3, s2_kv_proj_stride=2, s2_heads=2, s2_depth=1,
+              s2_mlp_mult=2, s3_emb_dim=48, s3_emb_kernel=3, s3_emb_stride=2,
+              s3_proj_kernel=3, s3_kv_proj_stride=2, s3_heads=2, s3_depth=1,
+              s3_mlp_mult=2, dropout=0.0)
+    ref = Ref(**kw).eval()
+    x = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = CvT(**kw).apply(convert_cvt(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected, atol=2e-4)

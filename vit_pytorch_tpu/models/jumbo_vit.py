@@ -90,9 +90,14 @@ class JumboViT(nn.Module):
             )
 
             jumbo, patches = x[:, :n_jumbo_tokens], x[:, n_jumbo_tokens:]
+            # faithful quirk #2: the reference passes mlp_dim as the *mult*
+            # argument of its FeedForward factory (jumbo_vit.py:150 with the
+            # signature at :34), so the patch-FF hidden dim is dim * mlp_dim
             patches = (
                 FeedForward(
-                    dim=self.dim, hidden_dim=self.mlp_dim, name=f"layers_{i}_ff"
+                    dim=self.dim,
+                    hidden_dim=int(self.dim * self.mlp_dim),
+                    name=f"layers_{i}_ff",
                 )(patches, train=train)
                 + patches
             )

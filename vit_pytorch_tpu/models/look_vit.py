@@ -140,10 +140,13 @@ class LookViT(nn.Module):
 
         # bilinear downsample to the main token grid (look_vit.py:217-222)
         main_size = self.image_size // self.patch_size
+        # antialias=False: torch F.interpolate (look_vit.py:217-221) does not
+        # low-pass filter on downsampling, jax.image.resize does by default
         tokens = jax.image.resize(
             highres,
             (highres.shape[0], main_size, main_size, self.dim),
             method="bilinear",
+            antialias=False,
         )
         b = tokens.shape[0]
         tokens = tokens.reshape(b, main_size * main_size, self.dim)

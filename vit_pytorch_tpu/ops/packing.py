@@ -18,14 +18,16 @@ executable for any image mix) and the group count can be padded with
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Sequence, Union
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class PackedImages:
     """Fixed-shape packed batch.  b = number of groups.
@@ -41,7 +43,7 @@ class PackedImages:
     pos_hw: jnp.ndarray
     image_ids: jnp.ndarray
     num_images: jnp.ndarray
-    max_images: int
+    max_images: int = field(metadata=dict(static=True))
 
     @property
     def is_image(self) -> jnp.ndarray:

@@ -910,6 +910,134 @@ def convert_mobile_vit(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_cvt(state_dict) -> dict:
+    """reference cvt.py:77-188 → models/cvt.py CvT (conv token embedding per
+    stage, depthwise-conv q/kv projections with BN, 1×1-conv attention out
+    and FF, channel-first LayerNorms)."""
+    sd = {}
+    for key, t in state_dict.items():
+        m = re.match(r"layers\.(\d+)\.(\d+)\.(.*)", key)
+        if m:
+            s, seq, rest = int(m.group(1)) + 1, int(m.group(2)), m.group(3)
+            part = {0: "emb_conv", 1: "emb_norm", 2: "stage"}[seq]
+            key = f"s{s}_{part}.{rest}" if rest else f"s{s}_{part}"
+        sd[key] = t
+
+    rules: list[Rule] = [
+        (r"(s\d+)_emb_conv\.weight", r"\1_emb_conv/kernel", conv2d_w),
+        (r"(s\d+)_emb_conv\.bias", r"\1_emb_conv/bias", identity),
+        (r"(s\d+)_emb_norm\.g", r"\1_emb_norm/ln/scale", flat_ln),
+        (r"(s\d+)_emb_norm\.b", r"\1_emb_norm/ln/bias", flat_ln),
+        (r"to_logits\.2\.weight", "to_logits/kernel", linear_w),
+        (r"to_logits\.2\.bias", "to_logits/bias", identity),
+    ]
+    a = r"(s\d+)_stage\.layers\.(\d+)\.0"
+    da = r"\1_layers_\2_attn"
+    rules += [
+        (rf"{a}\.norm\.g", rf"{da}/norm/ln/scale", flat_ln),
+        (rf"{a}\.norm\.b", rf"{da}/norm/ln/bias", flat_ln),
+    ]
+    for proj in ("q", "kv"):
+        rules += [
+            (rf"{a}\.to_{proj}\.net\.0\.weight", rf"{da}/to_{proj}/depthwise/kernel", conv2d_w),
+            (rf"{a}\.to_{proj}\.net\.2\.weight", rf"{da}/to_{proj}/pointwise/kernel", conv2d_w),
+        ]
+        rules += _bn(rf"{a}\.to_{proj}\.net\.1", rf"{da}/to_{proj}/bn")
+    rules += [
+        (rf"{a}\.to_out\.0\.weight", rf"{da}/to_out/kernel", conv2d_w),
+        (rf"{a}\.to_out\.0\.bias", rf"{da}/to_out/bias", identity),
+    ]
+    f = r"(s\d+)_stage\.layers\.(\d+)\.1\.net"
+    df = r"\1_layers_\2_ff"
+    rules += [
+        (rf"{f}\.0\.g", rf"{df}/norm/ln/scale", flat_ln),
+        (rf"{f}\.0\.b", rf"{df}/norm/ln/bias", flat_ln),
+        (rf"{f}\.1\.weight", rf"{df}/conv1/kernel", conv2d_w),
+        (rf"{f}\.1\.bias", rf"{df}/conv1/bias", identity),
+        (rf"{f}\.4\.weight", rf"{df}/conv2/kernel", conv2d_w),
+        (rf"{f}\.4\.bias", rf"{df}/conv2/bias", identity),
+    ]
+    return apply_rules(sd, rules)
+
+
+def convert_jumbo_vit(state_dict) -> dict:
+    """reference jumbo_vit.py:70-186 → models/jumbo_vit.py JumboViT (jumbo cls
+    tokens with their own FF, sincos pos-emb as trace-time constant, simple
+    bias-free attention, FF without dropout indices)."""
+    rules: list[Rule] = [
+        ("jumbo_cls_token", "jumbo_cls_token", identity),
+    ]
+    rules += patch_embed_rules()
+    rules += _ln(r"layers\.(\d+)\.0\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (r"layers\.(\d+)\.0\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+        (r"layers\.(\d+)\.0\.to_out\.weight", r"layers_\1_attn/to_out/kernel", linear_w),
+    ]
+    rules += _ln(r"layers\.(\d+)\.1\.0", r"layers_\1_ff/norm")
+    rules += _linear(r"layers\.(\d+)\.1\.1", r"layers_\1_ff/fc1")
+    rules += _linear(r"layers\.(\d+)\.1\.3", r"layers_\1_ff/fc2")
+    # jumbo cls FF (jumbo_ff.1 is the Sequential inside Residual)
+    rules += _ln(r"jumbo_ff\.1\.0", "jumbo_ff/norm")
+    rules += _linear(r"jumbo_ff\.1\.1", "jumbo_ff/fc1")
+    rules += _linear(r"jumbo_ff\.1\.3", "jumbo_ff/fc2")
+    rules += _ln("norm", "norm")
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_look_vit(state_dict) -> dict:
+    """reference look_vit.py:140-257 → models/look_vit.py LookViT.
+
+    Layer tuple order (look_vit.py:190-196, 228): attn, mlp,
+    lookup_cross_attn, highres_attn (value-only, reuses the lookup's qk
+    similarity transposed), highres_norm, highres_mlp.  All norms are the
+    bias-free gamma LayerNorm; sincos pos-emb is a buffer (dropped — ours is
+    a trace-time constant)."""
+    rules: list[Rule] = [
+        ("pos_embedding", "<drop>", identity),
+        (r"to_patches\.1\.weight", "patch_conv/kernel", conv2d_w),
+        (r"to_patches\.1\.bias", "patch_conv/bias", identity),
+        (r"to_patches\.3\.gamma", "patch_norm/gamma", identity),
+        ("norm\\.gamma", "norm/gamma", identity),
+        (r"highres_norm\.gamma", "highres_norm/gamma", identity),
+        (r"to_logits\.weight", "to_logits/kernel", linear_w),
+    ]
+
+    def attn(seq, dst, *, context_norm=False, self_norm=True, qk=True):
+        r: list[Rule] = []
+        if self_norm:
+            r.append((rf"layers\.(\d+)\.{seq}\.norm\.gamma", rf"{dst}/norm/gamma", identity))
+        if context_norm:
+            r.append((rf"layers\.(\d+)\.{seq}\.norm_context\.gamma", rf"{dst}/norm_context/gamma", identity))
+        if qk:
+            r += [
+                (rf"layers\.(\d+)\.{seq}\.to_q\.weight", rf"{dst}/to_q/kernel", linear_w),
+                (rf"layers\.(\d+)\.{seq}\.to_k\.weight", rf"{dst}/to_k/kernel", linear_w),
+            ]
+        r += [
+            (rf"layers\.(\d+)\.{seq}\.to_v\.weight", rf"{dst}/to_v/kernel", linear_w),
+            (rf"layers\.(\d+)\.{seq}\.to_out\.1\.weight", rf"{dst}/to_out/kernel", linear_w),
+        ]
+        return r
+
+    def mlp(seq, dst):
+        return [
+            (rf"layers\.(\d+)\.{seq}\.0\.gamma", rf"{dst}/norm/gamma", identity),
+            (rf"layers\.(\d+)\.{seq}\.1\.weight", rf"{dst}/fc1/kernel", linear_w),
+            (rf"layers\.(\d+)\.{seq}\.1\.bias", rf"{dst}/fc1/bias", identity),
+            (rf"layers\.(\d+)\.{seq}\.4\.weight", rf"{dst}/fc2/kernel", linear_w),
+            (rf"layers\.(\d+)\.{seq}\.4\.bias", rf"{dst}/fc2/bias", identity),
+        ]
+
+    rules += attn(0, r"layers_\1_attn")
+    rules += mlp(1, r"layers_\1_mlp")
+    rules += attn(2, r"layers_\1_lookup_cross_attn", context_norm=True)
+    rules += attn(3, r"layers_\1_highres_attn", context_norm=True, self_norm=False, qk=False)
+    rules += [(r"layers\.(\d+)\.4\.gamma", r"layers_\1_highres_norm/gamma", identity)]
+    rules += mlp(5, r"layers_\1_highres_mlp")
+    return apply_rules(state_dict, rules)
+
+
 def convert_vivit(state_dict) -> dict:
     """reference vivit.py:154-281 (factorized_encoder) → models/vivit.py."""
     rules: list[Rule] = []
@@ -928,9 +1056,49 @@ def convert_vivit(state_dict) -> dict:
 
 
 def convert_simple_vit(state_dict) -> dict:
-    """reference simple_vit.py:80-120 → models/simple_vit.py SimpleViT params."""
+    """reference simple_vit.py:80-120 → models/simple_vit.py SimpleViT params.
+    The 1-D/3-D variants (simple_vit_1d.py:73, simple_vit_3d.py:78) share the
+    exact layout (sincos pos-emb is a trace-time constant on both sides)."""
     rules: list[Rule] = []
     rules += patch_embed_rules()
     rules += transformer_rules(simple=True)
     rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+convert_simple_vit_1d = convert_simple_vit
+convert_simple_vit_3d = convert_simple_vit
+
+
+def convert_simple_vit_with_register_tokens(state_dict) -> dict:
+    """reference simple_vit_with_register_tokens.py:75-121: SimpleViT layout
+    plus learned register tokens."""
+    rules: list[Rule] = [("register_tokens", "register_tokens", identity)]
+    rules += patch_embed_rules()
+    rules += transformer_rules(simple=True)
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_vit_with_patch_merger(state_dict) -> dict:
+    """reference vit_with_patch_merger.py:103-167: ViT whose transformer owns
+    a PatchMerger (learned queries + LN) at ``patch_merge_layer``; our model
+    flattens the transformer into top-level layers."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += [("pos_embedding", "pos_embedding", identity)]
+    rules += _ln(r"transformer\.layers\.(\d+)\.0\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (r"transformer\.layers\.(\d+)\.0\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+    ]
+    rules += _linear(r"transformer\.layers\.(\d+)\.0\.to_out\.0", r"layers_\1_attn/to_out")
+    rules += _ln(r"transformer\.layers\.(\d+)\.1\.net\.0", r"layers_\1_ff/norm")
+    rules += _linear(r"transformer\.layers\.(\d+)\.1\.net\.1", r"layers_\1_ff/fc1")
+    rules += _linear(r"transformer\.layers\.(\d+)\.1\.net\.4", r"layers_\1_ff/fc2")
+    rules += [
+        (r"transformer\.patch_merger\.queries", "patch_merger/queries", identity),
+    ]
+    rules += _ln(r"transformer\.patch_merger\.norm", "patch_merger/norm")
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
     return apply_rules(state_dict, rules)
