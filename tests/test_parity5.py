@@ -131,3 +131,112 @@ def test_cvt_parity(reference, torch):
         expected = ref(x).numpy()
     got = CvT(**kw).apply(convert_cvt(ref.state_dict()), jnp.asarray(x.numpy()))
     _check(got, expected, atol=2e-4)
+
+
+def _simple_family(reference, torch, ref_mod, my_mod, conv_name, depth=2, **extra):
+    import importlib
+    Ref = getattr(importlib.import_module(f"vit_pytorch.{ref_mod}"), "SimpleViT")
+    Mine = getattr(importlib.import_module(f"vit_pytorch_tpu.models.{my_mod}"), "SimpleViT")
+    import vit_pytorch_tpu.utils.convert as C
+    conv = getattr(C, conv_name)
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=depth,
+              heads=2, dim_head=16, mlp_dim=64, **extra)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = Mine(**kw).apply(conv(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_simple_vit_qk_norm_parity(reference, torch):
+    _simple_family(reference, torch, "simple_vit_with_qk_norm",
+                   "simple_vit_with_qk_norm", "convert_simple_vit_with_qk_norm")
+
+
+@pytest.mark.parity
+def test_simple_vit_patch_dropout_parity(reference, torch):
+    _simple_family(reference, torch, "simple_vit_with_patch_dropout",
+                   "simple_vit_with_patch_dropout",
+                   "convert_simple_vit_with_patch_dropout")
+
+
+@pytest.mark.parity
+def test_simple_vit_value_residual_parity(reference, torch):
+    _simple_family(reference, torch, "simple_vit_with_value_residual",
+                   "simple_vit_with_value_residual",
+                   "convert_simple_vit_with_value_residual", depth=3)
+
+
+@pytest.mark.parity
+def test_simple_vit_specialized_cls_parity(reference, torch):
+    _simple_family(reference, torch, "simple_vit_with_specialized_cls",
+                   "simple_vit_with_specialized_cls",
+                   "convert_simple_vit_with_specialized_cls")
+
+
+@pytest.mark.parity
+def test_simple_vit_fft_parity(reference, torch):
+    _simple_family(reference, torch, "simple_vit_with_fft",
+                   "simple_vit_with_fft", "convert_simple_vit_with_fft",
+                   freq_patch_size=8)
+
+
+@pytest.mark.parity
+def test_simple_vit_hyper_connections_parity(reference, torch):
+    _simple_family(reference, torch, "simple_vit_with_hyper_connections",
+                   "simple_vit_with_hyper_connections",
+                   "convert_simple_vit_with_hyper_connections",
+                   num_residual_streams=2)
+
+
+@pytest.mark.parity
+def test_rvt_parity(reference, torch):
+    from vit_pytorch.rvt import RvT as Ref
+    from vit_pytorch_tpu.models.rvt import RvT
+    from vit_pytorch_tpu.utils.convert import convert_rvt
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = RvT(**kw).apply(convert_rvt(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_nest_parity(reference, torch):
+    from vit_pytorch.nest import NesT as Ref
+    from vit_pytorch_tpu.models.nest import NesT
+    from vit_pytorch_tpu.utils.convert import convert_nest
+
+    kw = dict(image_size=64, patch_size=4, num_classes=7, dim=16, heads=2,
+              num_hierarchies=3, block_repeats=(1, 1, 1), mlp_mult=2)
+    ref = Ref(**kw).eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = NesT(**kw).apply(convert_nest(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected, atol=2e-4)
+
+
+@pytest.mark.parity
+def test_learnable_memory_vit_parity(reference, torch):
+    from vit_pytorch.learnable_memory_vit import ViT as Ref
+    from vit_pytorch_tpu.models.learnable_memory_vit import ViT
+    from vit_pytorch_tpu.utils.convert import convert_learnable_memory_vit
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = ViT(**kw).apply(
+        convert_learnable_memory_vit(ref.state_dict()), jnp.asarray(x.numpy())
+    )
+    _check(got, expected)

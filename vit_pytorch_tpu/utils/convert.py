@@ -1070,6 +1070,230 @@ convert_simple_vit_1d = convert_simple_vit
 convert_simple_vit_3d = convert_simple_vit
 
 
+def convert_simple_vit_with_qk_norm(state_dict) -> dict:
+    """reference simple_vit_with_qk_norm.py:84-134: SimpleViT + RMSNorm on q/k
+    (gamma per head); the reference's ``linear_head`` is actually a LayerNorm
+    (line 129) — mapped with identity, not transpose."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    t = r"transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{t}\.norm", r"transformer_layers_\1_attn/norm")
+    rules += [
+        (rf"{t}\.q_norm\.gamma", r"transformer_layers_\1_attn/q_norm/gamma", identity),
+        (rf"{t}\.k_norm\.gamma", r"transformer_layers_\1_attn/k_norm/gamma", identity),
+        (rf"{t}\.to_qkv\.weight", r"transformer_layers_\1_attn/to_qkv/kernel", linear_w),
+        (rf"{t}\.to_out\.weight", r"transformer_layers_\1_attn/to_out/kernel", linear_w),
+    ]
+    f = r"transformer\.layers\.(\d+)\.1\.net"
+    rules += _ln(rf"{f}\.0", r"transformer_layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"transformer_layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.3", r"transformer_layers_\1_ff/fc2")
+    rules += _ln(r"transformer\.norm", "transformer_norm")
+    rules += _ln("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_simple_vit_with_patch_dropout(state_dict) -> dict:
+    """reference simple_vit_with_patch_dropout.py:98-145: SimpleViT layout
+    (patch dropout has no params)."""
+    return convert_simple_vit(state_dict)
+
+
+def convert_simple_vit_with_value_residual(state_dict) -> dict:
+    """reference simple_vit_with_value_residual.py:80-135: SimpleViT whose FF
+    Sequential has no norm-name nesting (indices 0/1/3) and layers > 0 carry a
+    learned residual-mix gate; our model flattens layers to the top level."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    t = r"transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{t}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{t}\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+        (rf"{t}\.to_out\.weight", r"layers_\1_attn/to_out/kernel", linear_w),
+        (rf"{t}\.to_residual_mix\.0\.weight", r"layers_\1_attn/to_residual_mix/kernel", linear_w),
+        (rf"{t}\.to_residual_mix\.0\.bias", r"layers_\1_attn/to_residual_mix/bias", identity),
+    ]
+    f = r"transformer\.layers\.(\d+)\.1"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.3", r"layers_\1_ff/fc2")
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_simple_vit_with_specialized_cls(state_dict) -> dict:
+    """reference simple_vit_with_specialized_cls.py: per-token-type LayerNorms
+    (fns.0 = cls stream, fns.1 = patch stream) around shared projections."""
+
+    def _split_norm(src: str, dst: str) -> list[Rule]:
+        return (
+            _ln(rf"{src}\.fns\.0", rf"{dst}norm_cls")
+            + _ln(rf"{src}\.fns\.1", rf"{dst}norm_patch")
+        )
+
+    rules: list[Rule] = [("cls_token", "cls_token", identity)]
+    rules += patch_embed_rules()
+    t = r"transformer\.layers\.(\d+)\.0"
+    rules += _split_norm(rf"{t}\.norm", r"layers_\1_attn/")
+    rules += [
+        (rf"{t}\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+        (rf"{t}\.to_out\.weight", r"layers_\1_attn/to_out/kernel", linear_w),
+    ]
+    f = r"transformer\.layers\.(\d+)\.1"
+    rules += _split_norm(rf"{f}\.norm", r"layers_\1_ff/")
+    rules += _linear(rf"{f}\.net\.0", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.net\.2", r"layers_\1_ff/fc2")
+    rules += _split_norm(r"transformer\.norm", "final_")
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_simple_vit_with_fft(state_dict) -> dict:
+    """reference simple_vit_with_fft.py:85-139: SimpleViT plus a second
+    patch-embedding branch over the 2-channel FFT spectrum."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += patch_embed_rules("to_freq_embedding", "freq_embedding")
+    rules += transformer_rules(simple=True)
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_simple_vit_with_hyper_connections(state_dict) -> dict:
+    """reference simple_vit_with_hyper_connections.py: each block is wrapped
+    in a HyperConnection (static/dynamic alpha-beta stream mixing,
+    weight-only RMS-style norm); layer Sequential order is
+    [attn_hyper, attn, ff_hyper, ff]."""
+    rules: list[Rule] = [("register_tokens", "register_tokens", identity)]
+    rules += patch_embed_rules()
+    for seq, name in ((0, "attn_hyper"), (2, "ff_hyper")):
+        h = rf"transformer\.layers\.(\d+)\.{seq}"
+        d = rf"layers_\1_{name}"
+        rules += [
+            (rf"{h}\.static_beta", rf"{d}/static_beta", identity),
+            (rf"{h}\.static_alpha", rf"{d}/static_alpha", identity),
+            (rf"{h}\.dynamic_alpha_fn", rf"{d}/dynamic_alpha_fn", identity),
+            (rf"{h}\.dynamic_alpha_scale", rf"{d}/dynamic_alpha_scale", identity),
+            (rf"{h}\.dynamic_beta_fn", rf"{d}/dynamic_beta_fn", identity),
+            (rf"{h}\.dynamic_beta_scale", rf"{d}/dynamic_beta_scale", identity),
+            (rf"{h}\.norm\.weight", rf"{d}/norm/scale", identity),
+        ]
+    a = r"transformer\.layers\.(\d+)\.1"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+        (rf"{a}\.to_out\.weight", r"layers_\1_attn/to_out/kernel", linear_w),
+    ]
+    f = r"transformer\.layers\.(\d+)\.3\.net"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.3", r"layers_\1_ff/fc2")
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_nest(state_dict) -> dict:
+    """reference nest.py:90-160 → models/nest.py NesT (all-1×1-conv blocks
+    with channel-first g/b LayerNorms, per-level pos-emb, 3×3 aggregate)."""
+    rules: list[Rule] = [
+        (r"to_patch_embedding\.1\.g", "patch_norm_pre/scale", flat_ln),
+        (r"to_patch_embedding\.1\.b", "patch_norm_pre/bias", flat_ln),
+        (r"to_patch_embedding\.2\.weight", "patch_proj/kernel", conv2d_w),
+        (r"to_patch_embedding\.2\.bias", "patch_proj/bias", identity),
+        (r"to_patch_embedding\.3\.g", "patch_norm_post/scale", flat_ln),
+        (r"to_patch_embedding\.3\.b", "patch_norm_post/bias", flat_ln),
+        (r"layers\.(\d+)\.0\.pos_emb", r"level_\1_transformer/pos_emb", identity),
+        (r"layers\.(\d+)\.1\.0\.weight", r"level_\1_aggregate_conv/kernel", conv2d_w),
+        (r"layers\.(\d+)\.1\.0\.bias", r"level_\1_aggregate_conv/bias", identity),
+        (r"layers\.(\d+)\.1\.1\.g", r"level_\1_aggregate_norm/scale", flat_ln),
+        (r"layers\.(\d+)\.1\.1\.b", r"level_\1_aggregate_norm/bias", flat_ln),
+        (r"mlp_head\.0\.g", "head_norm/scale", flat_ln),
+        (r"mlp_head\.0\.b", "head_norm/bias", flat_ln),
+    ]
+    rules += _linear(r"mlp_head\.2", "mlp_head")
+    level_ids = sorted(
+        {
+            int(m.group(1))
+            for k in state_dict
+            if (m := re.match(r"layers\.(\d+)\.0\.layers\.", k))
+        }
+    )
+    for s in level_ids:
+        a = rf"layers\.{s}\.0\.layers\.(\d+)\.0"
+        da = rf"level_{s}_transformer/layers_\1_attn"
+        rules += [
+            (rf"{a}\.norm\.g", rf"{da}/norm/scale", flat_ln),
+            (rf"{a}\.norm\.b", rf"{da}/norm/bias", flat_ln),
+            (rf"{a}\.to_qkv\.weight", rf"{da}/to_qkv/kernel", conv2d_w),
+            (rf"{a}\.to_out\.0\.weight", rf"{da}/to_out/kernel", conv2d_w),
+            (rf"{a}\.to_out\.0\.bias", rf"{da}/to_out/bias", identity),
+        ]
+        f = rf"layers\.{s}\.0\.layers\.(\d+)\.1\.net"
+        df = rf"level_{s}_transformer/layers_\1_ff"
+        rules += [
+            (rf"{f}\.0\.g", rf"{df}/norm/scale", flat_ln),
+            (rf"{f}\.0\.b", rf"{df}/norm/bias", flat_ln),
+            (rf"{f}\.1\.weight", rf"{df}/conv1/kernel", conv2d_w),
+            (rf"{f}\.1\.bias", rf"{df}/conv1/bias", identity),
+            (rf"{f}\.4\.weight", rf"{df}/conv2/kernel", conv2d_w),
+            (rf"{f}\.4\.bias", rf"{df}/conv2/bias", identity),
+        ]
+    return apply_rules(state_dict, rules)
+
+
+def convert_learnable_memory_vit(state_dict) -> dict:
+    """reference learnable_memory_vit.py:92-166 → models/learnable_memory_vit.py
+    ViT (split to_q / to_kv attention)."""
+    rules: list[Rule] = [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    rules += patch_embed_rules()
+    a = r"transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{a}\.norm", r"transformer/layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_q\.weight", r"transformer/layers_\1_attn/to_q/kernel", linear_w),
+        (rf"{a}\.to_kv\.weight", r"transformer/layers_\1_attn/to_kv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out\.0", r"transformer/layers_\1_attn/to_out")
+    f = r"transformer\.layers\.(\d+)\.1\.net"
+    rules += _ln(rf"{f}\.0", r"transformer/layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"transformer/layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.4", r"transformer/layers_\1_ff/fc2")
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_rvt(state_dict) -> dict:
+    """reference rvt.py:120-185 → models/rvt.py RvT (axial rotary embeddings
+    are a deterministic linspace buffer — recomputed at trace time, dropped;
+    depthwise-conv q projection, GEGLU-free FF at net.1/net.4)."""
+    rules: list[Rule] = [
+        ("cls_token", "cls_token", identity),
+        (r"transformer\.pos_emb\.scales", "<drop>", identity),
+        (r"to_patch_embedding\.1\.weight", "patch_embedding/proj/kernel", linear_w),
+        (r"to_patch_embedding\.1\.bias", "patch_embedding/proj/bias", identity),
+    ]
+    a = r"transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_q\.conv\.net\.0\.weight", r"layers_\1_attn/to_q/depthwise/kernel", conv2d_w),
+        (rf"{a}\.to_q\.conv\.net\.1\.weight", r"layers_\1_attn/to_q/pointwise/kernel", conv2d_w),
+        (rf"{a}\.to_kv\.weight", r"layers_\1_attn/to_kv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out\.0", r"layers_\1_attn/to_out")
+    f = r"transformer\.layers\.(\d+)\.1\.net"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.4", r"layers_\1_ff/fc2")
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_simple_vit_with_register_tokens(state_dict) -> dict:
     """reference simple_vit_with_register_tokens.py:75-121: SimpleViT layout
     plus learned register tokens."""
