@@ -1038,6 +1038,51 @@ def convert_look_vit(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_max_vit_with_registers(state_dict) -> dict:
+    """reference max_vit_with_registers.py:203-286 → models/
+    max_vit_with_registers.py (MaxViT whose window/grid attention carries
+    per-block learned register tokens; attention blocks are unwrapped —
+    no ``.fn.`` indirection, bias-free to_out)."""
+    rules: list[Rule] = []
+    rules += _conv(r"conv_stem\.0", "conv_stem_0")
+    rules += _conv(r"conv_stem\.1", "conv_stem_1")
+    rules += [
+        (r"register_tokens\.(\d+)", r"block_\1_register_tokens", identity),
+    ]
+
+    mb = r"layers\.(\d+)\.0\.(?:fn\.)?"
+    dst = r"block_\1_mbconv"
+    rules += _conv(mb + r"0", dst + "/conv_expand")
+    rules += _bn(mb + r"1", dst + "/bn1")
+    rules += _conv(mb + r"3", dst + "/conv_depthwise")
+    rules += _bn(mb + r"4", dst + "/bn2")
+    rules += [
+        (mb + r"6\.gate\.1\.weight", dst + "/se/fc1/kernel", linear_w),
+        (mb + r"6\.gate\.3\.weight", dst + "/se/fc2/kernel", linear_w),
+    ]
+    rules += _conv(mb + r"7", dst + "/conv_project")
+    rules += _bn(mb + r"8", dst + "/bn3")
+
+    for seq, kind in ((1, "block"), (2, "grid")):
+        a = rf"layers\.(\d+)\.{seq}\.0"
+        da = rf"block_\1_{kind}_attn"
+        rules += _ln(rf"{a}\.norm", rf"{da}/norm")
+        rules += [
+            (rf"{a}\.to_qkv\.weight", rf"{da}/to_qkv/kernel", linear_w),
+            (rf"{a}\.to_out\.0\.weight", rf"{da}/to_out/kernel", linear_w),
+            (rf"{a}\.rel_pos_bias\.weight", rf"{da}/rel_pos_bias", identity),
+        ]
+        f = rf"layers\.(\d+)\.{seq}\.1"
+        df = rf"block_\1_{kind}_ff"
+        rules += _ln(rf"{f}\.0", rf"{df}/norm")
+        rules += _linear(rf"{f}\.1", rf"{df}/fc1")
+        rules += _linear(rf"{f}\.4", rf"{df}/fc2")
+
+    rules += _ln(r"mlp_head\.1", "head_norm")
+    rules += _linear(r"mlp_head\.2", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_vivit(state_dict) -> dict:
     """reference vivit.py:154-281 (factorized_encoder) → models/vivit.py."""
     rules: list[Rule] = []
@@ -1191,6 +1236,127 @@ def convert_simple_vit_with_hyper_connections(state_dict) -> dict:
     rules += _linear(rf"{f}\.3", r"layers_\1_ff/fc2")
     rules += _ln(r"transformer\.norm", "norm")
     rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def conv1d_to_dense(t):
+    """torch Conv1d 1×1 (o, i, 1) → Dense kernel (i, o)."""
+    return _np(t)[:, :, 0].T
+
+
+def convert_sep_vit(state_dict) -> dict:
+    """reference sep_vit.py:237-289 → models/sep_vit.py SepViT (overlapping
+    patch embed, PEG, depthwise-separable window attention with learned
+    window tokens)."""
+    rules: list[Rule] = [
+        (r"layers\.(\d+)\.0\.conv\.weight", r"stage_\1_ope/kernel", conv2d_w),
+        (r"layers\.(\d+)\.0\.conv\.bias", r"stage_\1_ope/bias", identity),
+        (r"layers\.(\d+)\.1\.proj\.weight", r"stage_\1_peg/kernel", conv2d_w),
+        (r"layers\.(\d+)\.1\.proj\.bias", r"stage_\1_peg/bias", identity),
+        (r"layers\.(\d+)\.2\.norm\.g", r"stage_\1_norm/scale", flat_ln),
+        (r"layers\.(\d+)\.2\.norm\.b", r"stage_\1_norm/bias", flat_ln),
+        (r"mlp_head\.1\.weight", "head_norm/scale", identity),
+        (r"mlp_head\.1\.bias", "head_norm/bias", identity),
+    ]
+    rules += _linear(r"mlp_head\.2", "mlp_head")
+    a = r"layers\.(\d+)\.2\.layers\.(\d+)\.0"
+    da = r"stage_\1_layers_\2_attn"
+    rules += [
+        (rf"{a}\.window_tokens", rf"{da}/window_tokens", identity),
+        (rf"{a}\.norm\.g", rf"{da}/norm/scale", flat_ln),
+        (rf"{a}\.norm\.b", rf"{da}/norm/bias", flat_ln),
+        (rf"{a}\.to_qkv\.weight", rf"{da}/to_qkv/kernel", conv1d_to_dense),
+        (rf"{a}\.window_tokens_to_qk\.0\.weight", rf"{da}/window_norm/scale", identity),
+        (rf"{a}\.window_tokens_to_qk\.0\.bias", rf"{da}/window_norm/bias", identity),
+        (rf"{a}\.window_tokens_to_qk\.3\.weight", rf"{da}/window_to_qk/kernel", conv1d_to_dense),
+        (rf"{a}\.window_tokens_to_qk\.3\.bias", rf"{da}/window_to_qk/bias", identity),
+        (rf"{a}\.to_out\.0\.weight", rf"{da}/to_out/kernel", conv2d_w),
+        (rf"{a}\.to_out\.0\.bias", rf"{da}/to_out/bias", identity),
+    ]
+    f = r"layers\.(\d+)\.2\.layers\.(\d+)\.1\.net"
+    df = r"stage_\1_layers_\2_ff"
+    rules += [
+        (rf"{f}\.0\.g", rf"{df}/norm/scale", flat_ln),
+        (rf"{f}\.0\.b", rf"{df}/norm/bias", flat_ln),
+        (rf"{f}\.1\.weight", rf"{df}/conv1/kernel", conv2d_w),
+        (rf"{f}\.1\.bias", rf"{df}/conv1/bias", identity),
+        (rf"{f}\.4\.weight", rf"{df}/conv2/kernel", conv2d_w),
+        (rf"{f}\.4\.bias", rf"{df}/conv2/bias", identity),
+    ]
+    return apply_rules(state_dict, rules)
+
+
+def convert_crossformer(state_dict) -> dict:
+    """reference crossformer.py:154-267 → models/crossformer.py CrossFormer
+    (cross-scale CEL conv pyramid, short/long-distance attention with
+    dynamic-position-bias MLPs)."""
+    rules: list[Rule] = [
+        (r"layers\.(\d+)\.0\.convs\.(\d+)\.weight", r"stage_\1_cel/conv_\2/kernel", conv2d_w),
+        (r"layers\.(\d+)\.0\.convs\.(\d+)\.bias", r"stage_\1_cel/conv_\2/bias", identity),
+    ]
+    rules += _linear(r"to_logits\.1", "to_logits")
+    for seq, kind in ((0, "short"), (2, "long")):
+        a = rf"layers\.(\d+)\.1\.layers\.(\d+)\.{seq}"
+        da = rf"stage_\1_layers_\2_{kind}_attn"
+        rules += [
+            (rf"{a}\.norm\.g", rf"{da}/norm/scale", flat_ln),
+            (rf"{a}\.norm\.b", rf"{da}/norm/bias", flat_ln),
+            (rf"{a}\.to_qkv\.weight", rf"{da}/to_qkv/kernel", conv2d_w),
+            (rf"{a}\.to_out\.weight", rf"{da}/to_out/kernel", conv2d_w),
+            (rf"{a}\.to_out\.bias", rf"{da}/to_out/bias", identity),
+        ]
+        # dynamic position bias MLP (crossformer.py:40-60):
+        # Sequential(fc0, LN, ReLU, fc1, LN, ReLU, fc2, LN, ReLU, out)
+        for t_idx, name in ((0, "fc0"), (3, "fc1"), (6, "fc2"), (9, "out")):
+            rules += _linear(rf"{a}\.dpb\.{t_idx}", rf"{da}/dpb/{name}")
+        for t_idx, name in ((1, "norm0"), (4, "norm1"), (7, "norm2")):
+            rules += _ln(rf"{a}\.dpb\.{t_idx}", rf"{da}/dpb/{name}")
+    for seq, kind in ((1, "short"), (3, "long")):
+        f = rf"layers\.(\d+)\.1\.layers\.(\d+)\.{seq}"
+        df = rf"stage_\1_layers_\2_{kind}_ff"
+        rules += [
+            (rf"{f}\.0\.g", rf"{df}/norm/scale", flat_ln),
+            (rf"{f}\.0\.b", rf"{df}/norm/bias", flat_ln),
+            (rf"{f}\.1\.weight", rf"{df}/conv1/kernel", conv2d_w),
+            (rf"{f}\.1\.bias", rf"{df}/conv1/bias", identity),
+            (rf"{f}\.4\.weight", rf"{df}/conv2/kernel", conv2d_w),
+            (rf"{f}\.4\.bias", rf"{df}/conv2/bias", identity),
+        ]
+    return apply_rules(state_dict, rules)
+
+
+def convert_regionvit(state_dict) -> dict:
+    """reference regionvit.py:186-295 → models/regionvit.py RegionViT
+    (regional+local two-stream attention, per-stage downsample convs,
+    local rel-pos-bias Embedding)."""
+    rules: list[Rule] = [
+        (r"local_encoder\.weight", "local_encoder/kernel", conv2d_w),
+        (r"local_encoder\.bias", "local_encoder/bias", identity),
+        (r"region_encoder\.1\.weight", "region_encoder/kernel", conv2d_w),
+        (r"region_encoder\.1\.bias", "region_encoder/bias", identity),
+        (r"layers\.(\d+)\.0\.conv\.weight", r"stage_\1_downsample/kernel", conv2d_w),
+        (r"layers\.(\d+)\.0\.conv\.bias", r"stage_\1_downsample/bias", identity),
+        (
+            r"layers\.(\d+)\.2\.local_rel_pos_bias\.weight",
+            r"stage_\1_transformer/local_rel_pos_bias",
+            identity,
+        ),
+        (r"to_logits\.1\.weight", "head_norm/scale", identity),
+        (r"to_logits\.1\.bias", "head_norm/bias", identity),
+    ]
+    rules += _linear(r"to_logits\.2", "to_logits")
+    a = r"layers\.(\d+)\.2\.layers\.(\d+)\.0"
+    da = r"stage_\1_transformer/layers_\2_attn"
+    rules += _ln(rf"{a}\.norm", rf"{da}/norm")
+    rules += [
+        (rf"{a}\.to_qkv\.weight", rf"{da}/to_qkv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out\.0", rf"{da}/to_out")
+    f = r"layers\.(\d+)\.2\.layers\.(\d+)\.1"
+    df = r"stage_\1_transformer/layers_\2_ff"
+    rules += _ln(rf"{f}\.0", rf"{df}/norm")
+    rules += _linear(rf"{f}\.1", rf"{df}/fc1")
+    rules += _linear(rf"{f}\.4", rf"{df}/fc2")
     return apply_rules(state_dict, rules)
 
 
