@@ -308,3 +308,61 @@ def test_max_vit_with_registers_parity(reference, torch):
     variables = convert_max_vit_with_registers(ref.state_dict())
     got = MaxViT(**kw).apply(variables, jnp.asarray(x.numpy()))
     _check(got, expected, atol=2e-4)
+
+
+@pytest.mark.parity
+def test_scalable_vit_parity(reference, torch):
+    from vit_pytorch.scalable_vit import ScalableViT as Ref
+    from vit_pytorch_tpu.models.scalable_vit import ScalableViT
+    from vit_pytorch_tpu.utils.convert import convert_scalable_vit
+
+    kw = dict(num_classes=7, dim=16, heads=(1, 2), depth=(1, 1),
+              ssa_dim_key=(8, 8), reduction_factor=(2, 1),
+              window_size=(8, None), dropout=0.0)
+    ref = Ref(**kw).eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = ScalableViT(**kw).apply(convert_scalable_vit(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected, atol=2e-4)
+
+
+@pytest.mark.parity
+def test_ats_vit_parity(reference, torch):
+    """Parity with the gumbel noise zeroed on the torch side (our model adds
+    noise only when a 'sampling' rng is provided), making both deterministic."""
+    import vit_pytorch.ats_vit as ref_mod
+    from vit_pytorch_tpu.models.ats_vit import ViT
+    from vit_pytorch_tpu.utils.convert import convert_ats_vit
+
+    orig = ref_mod.sample_gumbel
+    ref_mod.sample_gumbel = lambda shape, device, dtype, eps=1e-6: torch.zeros(
+        shape, device=device, dtype=dtype
+    )
+    try:
+        kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=3,
+                  max_tokens_per_depth=(16, 8, 4), heads=2, dim_head=16, mlp_dim=64)
+        ref = ref_mod.ViT(**kw).eval()
+        x = torch.randn(2, 3, 32, 32)
+        with torch.no_grad():
+            expected = ref(x).numpy()
+        got = ViT(**kw).apply(convert_ats_vit(ref.state_dict()), jnp.asarray(x.numpy()))
+        _check(got, expected, atol=1e-4)
+    finally:
+        ref_mod.sample_gumbel = orig
+
+
+@pytest.mark.parity
+def test_normalized_vit_parity(reference, torch):
+    from vit_pytorch.normalized_vit import nViT as Ref
+    from vit_pytorch_tpu.models.normalized_vit import nViT
+    from vit_pytorch_tpu.utils.convert import convert_normalized_vit
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = nViT(**kw).apply(convert_normalized_vit(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected, atol=1e-4)

@@ -151,10 +151,10 @@ class ScalableViT(nn.Module):
     heads: Union[int, Tuple[int, ...]]
     reduction_factor: Union[int, Tuple[int, ...]]
     window_size: Union[None, int, Tuple] = None
-    iwsa_dim_key: int = 32
-    iwsa_dim_value: int = 32
-    ssa_dim_key: int = 32
-    ssa_dim_value: int = 32
+    iwsa_dim_key: Union[int, Tuple[int, ...]] = 32
+    iwsa_dim_value: Union[int, Tuple[int, ...]] = 32
+    ssa_dim_key: Union[int, Tuple[int, ...]] = 32
+    ssa_dim_value: Union[int, Tuple[int, ...]] = 32
     ff_expansion_factor: int = 4
     channels: int = 3
     dropout: float = 0.0
@@ -167,6 +167,11 @@ class ScalableViT(nn.Module):
         heads = cast_tuple(self.heads, num_stages)
         red = cast_tuple(self.reduction_factor, num_stages)
         wins = cast_tuple(self.window_size, num_stages)
+        # per-stage hyperparams, like reference scalable_vit.py:266-277
+        ssa_dk = cast_tuple(self.ssa_dim_key, num_stages)
+        ssa_dv = cast_tuple(self.ssa_dim_value, num_stages)
+        iwsa_dk = cast_tuple(self.iwsa_dim_key, num_stages)
+        iwsa_dv = cast_tuple(self.iwsa_dim_value, num_stages)
 
         x = jnp.transpose(img, (0, 2, 3, 1))
         x = nn.Conv(self.dim, (7, 7), strides=(4, 4), padding=3, name="to_patches")(x)
@@ -180,8 +185,8 @@ class ScalableViT(nn.Module):
                 x = ScalableSelfAttention(
                     dim=d,
                     heads=heads[ind],
-                    dim_key=self.ssa_dim_key,
-                    dim_value=self.ssa_dim_value,
+                    dim_key=ssa_dk[ind],
+                    dim_value=ssa_dv[ind],
                     reduction_factor=red[ind],
                     dropout=self.dropout,
                     name=f"{name}_ssa",
@@ -210,8 +215,8 @@ class ScalableViT(nn.Module):
                     dim=d,
                     window_size=wins[ind],
                     heads=heads[ind],
-                    dim_key=self.iwsa_dim_key,
-                    dim_value=self.iwsa_dim_value,
+                    dim_key=iwsa_dk[ind],
+                    dim_value=iwsa_dv[ind],
                     dropout=self.dropout,
                     name=f"{name}_iwsa",
                 )(x, train=train) + x

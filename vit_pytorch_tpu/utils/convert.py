@@ -1325,6 +1325,119 @@ def convert_crossformer(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_normalized_vit(state_dict) -> dict:
+    """reference normalized_vit.py:146-249 → models/normalized_vit.py nViT.
+
+    torch stores NormLinear weights behind a parametrization
+    (``...parametrizations.weight.original``); both sides l2-normalize at
+    use, so the raw weight maps directly."""
+    W = r"\.linear\.parametrizations\.weight\.original"
+    rules: list[Rule] = [
+        ("logit_scale", "logit_scale", identity),
+        (rf"to_patch_embedding\.1{W}", "patch_embedding/kernel", linear_w),
+        (rf"abs_pos_emb{W}", "abs_pos_emb", linear_w),
+        (rf"to_pred{W}", "to_pred/kernel", linear_w),
+        (r"residual_lerp_scales\.(\d+)\.0", r"residual_lerp_scales_\1_attn", identity),
+        (r"residual_lerp_scales\.(\d+)\.1", r"residual_lerp_scales_\1_ff", identity),
+    ]
+    a = r"layers\.(\d+)\.0"
+    rules += [
+        (rf"{a}\.q_scale", r"layers_\1_attn/q_scale", identity),
+        (rf"{a}\.k_scale", r"layers_\1_attn/k_scale", identity),
+        (rf"{a}\.to_q{W}", r"layers_\1_attn/to_q/kernel", linear_w),
+        (rf"{a}\.to_k{W}", r"layers_\1_attn/to_k/kernel", linear_w),
+        (rf"{a}\.to_v{W}", r"layers_\1_attn/to_v/kernel", linear_w),
+        (rf"{a}\.to_out{W}", r"layers_\1_attn/to_out/kernel", linear_w),
+    ]
+    f = r"layers\.(\d+)\.1"
+    rules += [
+        (rf"{f}\.hidden_scale", r"layers_\1_ff/hidden_scale", identity),
+        (rf"{f}\.gate_scale", r"layers_\1_ff/gate_scale", identity),
+        (rf"{f}\.to_hidden{W}", r"layers_\1_ff/to_hidden/kernel", linear_w),
+        (rf"{f}\.to_gate{W}", r"layers_\1_ff/to_gate/kernel", linear_w),
+        (rf"{f}\.to_out{W}", r"layers_\1_ff/to_out/kernel", linear_w),
+    ]
+    return apply_rules(state_dict, rules)
+
+
+def convert_ats_vit(state_dict) -> dict:
+    """reference ats_vit.py:200-262 → models/ats_vit.py ViT (adaptive token
+    sampling; flat top-level layer names, vit-style blocks)."""
+    rules: list[Rule] = [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    rules += patch_embed_rules()
+    a = r"transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out\.0", r"layers_\1_attn/to_out")
+    f = r"transformer\.layers\.(\d+)\.1\.net"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.4", r"layers_\1_ff/fc2")
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_scalable_vit(state_dict) -> dict:
+    """reference scalable_vit.py:240-310 → models/scalable_vit.py ScalableViT
+    (SSA reduced-kv attention + interactive windowed attention per block,
+    channel-first g/b norms, all projections 1×1 convs)."""
+    rules: list[Rule] = [
+        (r"to_patches\.weight", "to_patches/kernel", conv2d_w),
+        (r"to_patches\.bias", "to_patches/bias", identity),
+        (r"layers\.(\d+)\.0\.norm\.g", r"stage_\1_norm/scale", flat_ln),
+        (r"layers\.(\d+)\.0\.norm\.b", r"stage_\1_norm/bias", flat_ln),
+        (r"layers\.(\d+)\.1\.conv\.weight", r"stage_\1_downsample/kernel", conv2d_w),
+        (r"layers\.(\d+)\.1\.conv\.bias", r"stage_\1_downsample/bias", identity),
+    ]
+    rules += _ln(r"mlp_head\.1", "head_norm")
+    rules += _linear(r"mlp_head\.2", "mlp_head")
+
+    for seq, kind in ((0, "ssa"), (4, "iwsa")):
+        a = rf"layers\.(\d+)\.0\.layers\.(\d+)\.{seq}"
+        da = rf"stage_\1_block_\2_{kind}"
+        rules += [
+            (rf"{a}\.norm\.g", rf"{da}/norm/scale", flat_ln),
+            (rf"{a}\.norm\.b", rf"{da}/norm/bias", flat_ln),
+            (rf"{a}\.to_q\.weight", rf"{da}/to_q/kernel", conv2d_w),
+            (rf"{a}\.to_k\.weight", rf"{da}/to_k/kernel", conv2d_w),
+            (rf"{a}\.to_v\.weight", rf"{da}/to_v/kernel", conv2d_w),
+            (rf"{a}\.to_out\.0\.weight", rf"{da}/to_out/kernel", conv2d_w),
+            (rf"{a}\.to_out\.0\.bias", rf"{da}/to_out/bias", identity),
+            (
+                rf"{a}\.local_interactive_module\.weight",
+                rf"{da}/local_interactive_module/kernel",
+                conv2d_w,
+            ),
+            (
+                rf"{a}\.local_interactive_module\.bias",
+                rf"{da}/local_interactive_module/bias",
+                identity,
+            ),
+        ]
+    for seq, kind in ((1, "ff1"), (3, "ff2")):
+        f = rf"layers\.(\d+)\.0\.layers\.(\d+)\.{seq}\.net"
+        df = rf"stage_\1_block_\2_{kind}"
+        rules += [
+            (rf"{f}\.0\.g", rf"{df}/norm/scale", flat_ln),
+            (rf"{f}\.0\.b", rf"{df}/norm/bias", flat_ln),
+            (rf"{f}\.1\.weight", rf"{df}/conv1/kernel", conv2d_w),
+            (rf"{f}\.1\.bias", rf"{df}/conv1/bias", identity),
+            (rf"{f}\.4\.weight", rf"{df}/conv2/kernel", conv2d_w),
+            (rf"{f}\.4\.bias", rf"{df}/conv2/bias", identity),
+        ]
+    rules += [
+        (r"layers\.(\d+)\.0\.layers\.(\d+)\.2\.proj\.weight", r"stage_\1_block_\2_peg/kernel", conv2d_w),
+        (r"layers\.(\d+)\.0\.layers\.(\d+)\.2\.proj\.bias", r"stage_\1_block_\2_peg/bias", identity),
+    ]
+    return apply_rules(state_dict, rules)
+
+
 def convert_regionvit(state_dict) -> dict:
     """reference regionvit.py:186-295 → models/regionvit.py RegionViT
     (regional+local two-stream attention, per-stage downsample convs,
