@@ -366,3 +366,108 @@ def test_normalized_vit_parity(reference, torch):
         expected = ref(x).numpy()
     got = nViT(**kw).apply(convert_normalized_vit(ref.state_dict()), jnp.asarray(x.numpy()))
     _check(got, expected, atol=1e-4)
+
+
+@pytest.mark.parity
+def test_distillable_vit_parity(reference, torch):
+    from vit_pytorch.distill import DistillableViT as Ref
+    from vit_pytorch_tpu.ssl.distill import DistillableViT
+    from vit_pytorch_tpu.utils.convert import convert_distillable_vit
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = DistillableViT(**kw).apply(
+        convert_distillable_vit(ref.state_dict()), jnp.asarray(x.numpy())
+    )
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_vit_with_decorr_parity(reference, torch):
+    from vit_pytorch.vit_with_decorr import ViT as Ref
+    from vit_pytorch_tpu.models.vit_with_decorr import ViT
+    from vit_pytorch_tpu.utils.convert import convert_vit_with_decorr
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        out = ref(x)
+    expected = (out[0] if isinstance(out, tuple) else out).numpy()
+    got = ViT(**kw).apply(convert_vit_with_decorr(ref.state_dict()), jnp.asarray(x.numpy()))
+    if isinstance(got, tuple):
+        got = got[0]
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_vit_detpool_parity(reference, torch):
+    from vit_pytorch.vit_detpool import ViTDetPool as Ref
+    from vit_pytorch_tpu.models.vit_detpool import ViTDetPool
+    from vit_pytorch_tpu.utils.convert import convert_vit_detpool
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        out = ref(x)
+    expected = (out[0] if isinstance(out, tuple) else out).numpy()
+    got = ViTDetPool(**kw).apply(convert_vit_detpool(ref.state_dict()), jnp.asarray(x.numpy()))
+    if isinstance(got, tuple):
+        got = got[0]
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_vit_nd_parity(reference, torch):
+    from vit_pytorch.vit_nd import ViTND as Ref
+    from vit_pytorch_tpu.models.vit_nd import ViTND
+    from vit_pytorch_tpu.utils.convert import convert_vit_nd
+
+    kw = dict(ndim=3, input_shape=(8, 16, 16), patch_size=(2, 4, 4),
+              num_classes=7, dim=32, depth=2, heads=2, dim_head=16,
+              mlp_dim=64, channels=2)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 2, 8, 16, 16)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = ViTND(**kw).apply(convert_vit_nd(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_vit_nd_rotary_parity(reference, torch):
+    from vit_pytorch.vit_nd_rotary import ViTND as Ref
+    from vit_pytorch_tpu.models.vit_nd_rotary import ViTND
+    from vit_pytorch_tpu.utils.convert import convert_vit_nd_rotary
+
+    kw = dict(ndim=2, input_shape=(16, 16), patch_size=(4, 4), num_classes=7,
+              dim=32, depth=2, heads=2, dim_head=16, mlp_dim=64, channels=3)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 16, 16)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = ViTND(**kw).apply(convert_vit_nd_rotary(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected, atol=1e-4)
+
+
+@pytest.mark.parity
+def test_vit_nd_pope_parity(reference, torch):
+    from vit_pytorch.vit_nd_pope import ViTND as Ref
+    from vit_pytorch_tpu.models.vit_nd_pope import ViTND
+    from vit_pytorch_tpu.utils.convert import convert_vit_nd_pope
+
+    kw = dict(ndim=2, input_shape=(16, 16), patch_size=(4, 4), num_classes=7,
+              dim=32, depth=2, heads=2, dim_head=16, mlp_dim=64, channels=3)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 16, 16)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = ViTND(**kw).apply(convert_vit_nd_pope(ref.state_dict()), jnp.asarray(x.numpy()))
+    _check(got, expected, atol=1e-4)

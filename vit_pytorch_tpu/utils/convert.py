@@ -327,6 +327,116 @@ def convert_vit(state_dict) -> dict:
     return apply_rules(state_dict, vit_rules())
 
 
+def convert_distillable_vit(state_dict) -> dict:
+    """reference distill.py:46-75: DistillableViT shares the exact ViT layout
+    (it subclasses ViT and only changes forward plumbing)."""
+    return convert_vit(state_dict)
+
+
+def convert_vit_with_decorr(state_dict) -> dict:
+    """reference vit_with_decorr.py:150-230 → models/vit_with_decorr.py ViT
+    (decorrelation modules are parameter-free; FF carries its norm outside
+    the net Sequential)."""
+    rules: list[Rule] = [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    rules += patch_embed_rules()
+    a = r"transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out\.0", r"layers_\1_attn/to_out")
+    f = r"transformer\.layers\.(\d+)\.1"
+    rules += _ln(rf"{f}\.norm", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.net\.0", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.net\.3", r"layers_\1_ff/fc2")
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_vit_detpool(state_dict) -> dict:
+    """reference vit_detpool.py:107-211 → models/vit_detpool.py ViTDetPool
+    (ViT trunk flattened to top level, bare-Linear head; the det-pooling is
+    parameter-free masked means)."""
+    rules: list[Rule] = [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    rules += patch_embed_rules()
+    a = r"transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [(rf"{a}\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w)]
+    rules += _linear(rf"{a}\.to_out\.0", r"layers_\1_attn/to_out")
+    f = r"transformer\.layers\.(\d+)\.1\.net"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.4", r"layers_\1_ff/fc2")
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_vit_nd(state_dict) -> dict:
+    """reference vit_nd.py:89-173 → models/vit_nd.py ViTND (same per-layer
+    layout as vit_1d: no final transformer norm... mapped from the live keys:
+    patch embed Linear+LN, vit-style blocks with final norm, bare head)."""
+    rules: list[Rule] = [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    rules += _linear(r"to_patch_embedding\.1", "patch_proj")
+    rules += _ln(r"to_patch_embedding\.2", "patch_norm")
+    rules += transformer_rules()
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def _vit_nd_flat_rules() -> list[Rule]:
+    """Shared vit_nd_rotary/pope block layout: flat top-level layers, fused
+    to_qk + separate to_v, Linear+LN patch embed, bare head."""
+    rules: list[Rule] = []
+    rules += _linear(r"to_patch_embedding\.1", "patch_proj")
+    rules += _ln(r"to_patch_embedding\.2", "patch_norm")
+    a = r"transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_qk\.weight", r"layers_\1_attn/to_qk/kernel", linear_w),
+        (rf"{a}\.to_v\.weight", r"layers_\1_attn/to_v/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out\.0", r"layers_\1_attn/to_out")
+    f = r"transformer\.layers\.(\d+)\.1\.net"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.4", r"layers_\1_ff/fc2")
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _linear("mlp_head", "mlp_head")
+    return rules
+
+
+def convert_vit_nd_rotary(state_dict) -> dict:
+    """reference vit_nd_rotary.py → models/vit_nd_rotary.py (golden-ratio
+    rotary freqs are deterministic buffers — recomputed at trace time)."""
+    rules: list[Rule] = [(r".*rotary_emb\.freqs", "<drop>", identity)]
+    rules += _vit_nd_flat_rules()
+    return apply_rules(state_dict, rules)
+
+
+def convert_vit_nd_pope(state_dict) -> dict:
+    """reference vit_nd_pope.py → models/vit_nd_pope.py (PoPE polar embedding:
+    deterministic freqs dropped; the learned phase bias is shared between the
+    top-level and transformer registrations — mapped once)."""
+    rules: list[Rule] = [
+        (r"polar_emb\.freqs", "<drop>", identity),
+        (r"transformer\.polar_emb\..*", "<drop>", identity),
+        (r"polar_emb\.learned_bias", "learned_bias", identity),
+    ]
+    rules += _vit_nd_flat_rules()
+    return apply_rules(state_dict, rules)
+
+
 def convert_mae(state_dict) -> dict:
     """reference mae.py:8-41 MAE(encoder=ViT, ...) → ssl/mae.py MAE params.
 
