@@ -471,3 +471,39 @@ def test_vit_nd_pope_parity(reference, torch):
         expected = ref(x).numpy()
     got = ViTND(**kw).apply(convert_vit_nd_pope(ref.state_dict()), jnp.asarray(x.numpy()))
     _check(got, expected, atol=1e-4)
+
+
+@pytest.mark.parity
+def test_simple_vit_attn_residual_parity(reference, torch):
+    from vit_pytorch.simple_vit_attn_residual import SimpleViTAttnResidual as Ref
+    from vit_pytorch_tpu.models.simple_vit_attn_residual import SimpleViTAttnResidual
+    from vit_pytorch_tpu.utils.convert import convert_simple_vit_attn_residual
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = SimpleViTAttnResidual(**kw).apply(
+        convert_simple_vit_attn_residual(ref.state_dict()), jnp.asarray(x.numpy())
+    )
+    _check(got, expected)
+
+
+@pytest.mark.parity
+def test_simple_vit_orthog_residual_parity(reference, torch):
+    from vit_pytorch.simple_vit_orthog_residual_update import SimpleViT as Ref
+    from vit_pytorch_tpu.models.simple_vit_orthog_residual_update import SimpleViT
+    from vit_pytorch_tpu.utils.convert import convert_simple_vit_orthog_residual
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = SimpleViT(**kw).apply(
+        convert_simple_vit_orthog_residual(ref.state_dict()), jnp.asarray(x.numpy())
+    )
+    _check(got, expected)

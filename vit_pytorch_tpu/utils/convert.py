@@ -1683,6 +1683,65 @@ def convert_rvt(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_simple_vit_attn_residual(state_dict) -> dict:
+    """reference simple_vit_attn_residual.py:156-207: each FF is wrapped in an
+    AttentionResidual (learned-query cross-attention pooling of the residual),
+    with a final pooling block before the head."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+
+    def pool_attn(src: str, dst: str) -> list[Rule]:
+        r = [(rf"{src}\.learned_query", rf"{dst}/learned_query", identity)]
+        r += _ln(rf"{src}\.attn\.norm", rf"{dst}/attn/norm")
+        r += _ln(rf"{src}\.attn\.norm_context", rf"{dst}/attn/norm_context")
+        r += [
+            (rf"{src}\.attn\.to_q\.weight", rf"{dst}/attn/to_q/kernel", linear_w),
+            (rf"{src}\.attn\.to_kv\.weight", rf"{dst}/attn/to_kv/kernel", linear_w),
+            (rf"{src}\.attn\.to_out\.weight", rf"{dst}/attn/to_out/kernel", linear_w),
+        ]
+        return r
+
+    a = r"transformer\.layers\.(\d+)\.0\.fn"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_q\.weight", r"layers_\1_attn/to_q/kernel", linear_w),
+        (rf"{a}\.to_kv\.weight", r"layers_\1_attn/to_kv/kernel", linear_w),
+        (rf"{a}\.to_out\.weight", r"layers_\1_attn/to_out/kernel", linear_w),
+    ]
+    f = r"transformer\.layers\.(\d+)\.1\.fn\.net"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.3", r"layers_\1_ff/fc2")
+    rules += pool_attn(r"transformer\.layers\.(\d+)\.0", r"layers_\1_attn_pool")
+    rules += pool_attn(r"transformer\.layers\.(\d+)\.1", r"layers_\1_ff_pool")
+    rules += pool_attn(r"transformer\.final_pool", "final_pool")
+    # final_pool wraps a LayerNorm as its fn (simple_vit_attn_residual.py:133)
+    rules += _ln(r"transformer\.final_pool\.fn", "final_norm")
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_simple_vit_orthog_residual(state_dict) -> dict:
+    """reference simple_vit_orthog_residual_update.py:146-196: SimpleViT whose
+    residual adds only the component of each block output orthogonal to the
+    residual stream (parameter-free); blocks live under ``.block``."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    a = r"transformer\.layers\.(\d+)\.0\.block"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+        (rf"{a}\.to_out\.weight", r"layers_\1_attn/to_out/kernel", linear_w),
+    ]
+    f = r"transformer\.layers\.(\d+)\.1\.block\.net"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.3", r"layers_\1_ff/fc2")
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_simple_vit_with_register_tokens(state_dict) -> dict:
     """reference simple_vit_with_register_tokens.py:75-121: SimpleViT layout
     plus learned register tokens."""
