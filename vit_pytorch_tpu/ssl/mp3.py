@@ -145,15 +145,16 @@ class MP3(nn.Module):
         self.head_norm = nn.LayerNorm(epsilon=LN_EPS, name="mlp_head_norm")
         self.mlp_head = nn.Dense(self.vit.num_patches, name="mlp_head")
 
-    def __call__(self, img, *, train: bool = False):
+    def __call__(self, img, *, rand_indices=None, train: bool = False):
         tokens = self.vit.embed_patches(img)
         batch, num_patches, _ = tokens.shape
 
         num_masked = int(self.masking_ratio * num_patches)
-        rng = self.make_rng("mask")
-        rand_indices = jnp.argsort(
-            jax.random.uniform(rng, (batch, num_patches)), axis=-1
-        )
+        if rand_indices is None:
+            rng = self.make_rng("mask")
+            rand_indices = jnp.argsort(
+                jax.random.uniform(rng, (batch, num_patches)), axis=-1
+            )
         unmasked_indices = rand_indices[:, num_masked:]
 
         batch_range = jnp.arange(batch)[:, None]

@@ -437,6 +437,28 @@ def convert_vit_nd_pope(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_mp3(state_dict) -> dict:
+    """reference mp3.py:150-186 → ssl/mp3.py MP3 (split to_q/to_kv blocks;
+    LN+Linear position-prediction head; the wrapped ViT's classification
+    head is unused during pretraining -- dropped)."""
+    rules: list[Rule] = [(r"vit\.linear_head\..*", "<drop>", identity)]
+    rules += patch_embed_rules(r"vit\.to_patch_embedding", "vit/patch_embedding")
+    a = r"vit\.transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{a}\.norm", r"vit/transformer/layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_q\.weight", r"vit/transformer/layers_\1_attn/to_q/kernel", linear_w),
+        (rf"{a}\.to_kv\.weight", r"vit/transformer/layers_\1_attn/to_kv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out\.0", r"vit/transformer/layers_\1_attn/to_out")
+    f = r"vit\.transformer\.layers\.(\d+)\.1\.net"
+    rules += _ln(rf"{f}\.0", r"vit/transformer/layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"vit/transformer/layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.4", r"vit/transformer/layers_\1_ff/fc2")
+    rules += _ln(r"mlp_head\.0", "mlp_head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_mae(state_dict) -> dict:
     """reference mae.py:8-41 MAE(encoder=ViT, ...) → ssl/mae.py MAE params.
 
