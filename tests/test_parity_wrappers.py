@@ -76,3 +76,36 @@ def test_mp3_parity(reference, torch):
                     rand_indices=jnp.asarray(idx))
     )
     np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parity
+def test_vivit_moss_parity(reference, torch):
+    from vit_pytorch.vivit_with_moss import ViViT as Ref
+    from vit_pytorch_tpu.models.vivit_with_moss import ViViT
+    from vit_pytorch_tpu.utils.convert import convert_vivit_moss
+
+    kw = dict(image_size=32, image_patch_size=8, frames=4, frame_patch_size=2,
+              num_classes=7, dim=32, spatial_depth=1, temporal_depth=1,
+              heads=2, mlp_dim=64, dim_head=16)
+    ref = Ref(**kw).eval()
+    x = torch.randn(1, 3, 4, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = ViViT(**kw).apply(convert_vivit_moss(ref.state_dict()), jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_wwt_parity(reference, torch):
+    from vit_pytorch.wwt import WWT as Ref
+    from vit_pytorch_tpu.models.wwt import WWT
+    from vit_pytorch_tpu.utils.convert import convert_wwt
+
+    kw = dict(num_classes=7, dim=32, depth=2, heads=2, dim_head=16, mlp_dim=64,
+              image_size=64, patch_size=8, num_slots=4)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = WWT(**kw).apply(convert_wwt(ref.state_dict()), jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4, rtol=1e-3)

@@ -1232,6 +1232,78 @@ def convert_vivit(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_wwt(state_dict) -> dict:
+    """reference wwt.py → models/wwt.py WWT (white-whale: token/slot mutual
+    attention with mask MLPs; bias-free gamma norms)."""
+    rules: list[Rule] = [
+        ("pos_embedding", "pos_embedding", identity),
+        ("register_tokens", "register_tokens", identity),
+        (r"slots\.(\d+)", r"slots_\1", identity),
+        (r"register_slots\.(\d+)", r"register_slots_\1", identity),
+        (r"to_patch_embedding\.1\.weight", "patch_embedding/norm_pre/scale", identity),
+        (r"to_patch_embedding\.2\.weight", "patch_embedding/proj/kernel", linear_w),
+        (r"to_patch_embedding\.2\.bias", "patch_embedding/proj/bias", identity),
+        (r"to_patch_embedding\.3\.weight", "patch_embedding/norm_post/scale", identity),
+        (r"layers\.(\d+)\.norms\.(\d+)\.weight", r"layers_\1_norm_\2/scale", identity),
+        (r"mlp_head\.0\.weight", "head_norm/scale", identity),
+    ]
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    a = r"layers\.(\d+)\.attns\.(\d+)"
+    da = r"layers_\1_attn_\2"
+    rules += [
+        (rf"{a}\.to_q_v_tokens\.weight", rf"{da}/to_q_v_tokens/kernel", linear_w),
+        (rf"{a}\.to_k_v_slots\.weight", rf"{da}/to_k_v_slots/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out_tokens\.0", rf"{da}/to_out_tokens")
+    rules += _linear(rf"{a}\.to_out_slots\.0", rf"{da}/to_out_slots")
+    rules += [
+        (rf"{a}\.mlp_mask\.0\.weight", rf"{da}/mlp_mask/norm/scale", identity),
+    ]
+    rules += _linear(rf"{a}\.mlp_mask\.1", rf"{da}/mlp_mask/fc1")
+    rules += _linear(rf"{a}\.mlp_mask\.4", rf"{da}/mlp_mask/fc2")
+    m = r"layers\.(\d+)\.mlps\.(\d+)"
+    dm = r"layers_\1_mlp_\2"
+    rules += [
+        (rf"{m}\.0\.weight", rf"{dm}/norm/scale", identity),
+    ]
+    rules += _linear(rf"{m}\.1", rf"{dm}/fc1")
+    rules += _linear(rf"{m}\.4", rf"{dm}/fc2")
+    return apply_rules(state_dict, rules)
+
+
+def convert_vivit_moss(state_dict) -> dict:
+    """reference vivit_with_moss.py:278-430 → models/vivit_with_moss.py ViViT
+    (factorized space-time + MOSS state-space mixers: per-order encoders with
+    2D convs and gamma chan-norms, shared time_to_out, per-order heads)."""
+    rules: list[Rule] = [
+        ("pos_embedding", "pos_embedding", identity),
+        ("spatial_cls_token", "spatial_cls_token", identity),
+        ("temporal_cls_token", "temporal_cls_token", identity),
+    ]
+    rules += _ln(r"to_patch_embedding\.1", "patch_norm_pre")
+    rules += _linear(r"to_patch_embedding\.2", "patch_proj")
+    rules += _ln(r"to_patch_embedding\.3", "patch_norm_post")
+    rules += transformer_rules("spatial_transformer", "spatial_transformer")
+    rules += transformer_rules("temporal_transformer", "temporal_transformer")
+    e = r"moss\.encoders\.(\d+)"
+    d = r"moss/encoders_\1"
+    rules += _linear(rf"{e}\.spatial_to_hidden", rf"{d}/spatial_to_hidden")
+    rules += [
+        (rf"{e}\.conv\.0\.weight", rf"{d}/conv0/kernel", conv2d_w),
+        (rf"{e}\.conv\.0\.bias", rf"{d}/conv0/bias", identity),
+        (rf"{e}\.conv\.1\.gamma", rf"{d}/conv_norm0/scale", flat_ln),
+        (rf"{e}\.conv\.3\.weight", rf"{d}/conv1/kernel", conv2d_w),
+        (rf"{e}\.conv\.3\.bias", rf"{d}/conv1/bias", identity),
+        (rf"{e}\.conv\.4\.gamma", rf"{d}/conv_norm1/scale", flat_ln),
+    ]
+    rules += _linear(rf"{e}\.time_to_out", rf"{d}/time_to_out")
+    rules += _linear(r"moss\.to_order_out\.(\d+)", r"moss/to_order_out_\1")
+    rules += _linear(r"moss\.to_out", "moss/to_out")
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_simple_vit(state_dict) -> dict:
     """reference simple_vit.py:80-120 → models/simple_vit.py SimpleViT params.
     The 1-D/3-D variants (simple_vit_1d.py:73, simple_vit_3d.py:78) share the
