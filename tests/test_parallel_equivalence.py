@@ -1,0 +1,73 @@
+"""Mesh-sharded training equals single-device training (SURVEY §4: multi-chip
+tests runnable on CPU via xla_force_host_platform_device_count)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+
+@pytest.fixture()
+def _model_state():
+    from vit_pytorch_tpu.models.vit import ViT
+    from vit_pytorch_tpu.parallel.train import create_train_state
+
+    model = ViT(image_size=32, patch_size=8, num_classes=5, dim=32, depth=2,
+                heads=2, dim_head=16, mlp_dim=64)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)), optax.sgd(1e-2)
+    )
+    return model, state
+
+
+def test_data_parallel_matches_single_device(_model_state):
+    from vit_pytorch_tpu.parallel.mesh import make_mesh
+    from vit_pytorch_tpu.parallel.train import (
+        make_train_step, make_sharded_train_step, shard_train_state,
+    )
+
+    model, state = _model_state
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 32, 32))
+    labels = jnp.arange(8) % 5
+    rng = jax.random.PRNGKey(2)
+
+    step = make_train_step(model, donate=False)
+    s_single, m_single = step(state, imgs, labels, rng)
+
+    mesh = make_mesh(data=8)
+    sharded = shard_train_state(state, mesh)
+    sharded_step = make_sharded_train_step(model, mesh, donate=False)
+    s_shard, m_shard = sharded_step(sharded, imgs, labels, rng)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_shard["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_tensor_parallel_matches_single_device(_model_state):
+    from vit_pytorch_tpu.parallel.mesh import make_mesh
+    from vit_pytorch_tpu.parallel.train import (
+        make_train_step, make_sharded_train_step, shard_train_state,
+    )
+
+    model, state = _model_state
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 32, 32))
+    labels = jnp.arange(4) % 5
+    rng = jax.random.PRNGKey(4)
+
+    step = make_train_step(model, donate=False)
+    s_single, m_single = step(state, imgs, labels, rng)
+
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_train_state(state, mesh)
+    sharded_step = make_sharded_train_step(model, mesh, donate=False)
+    s_shard, m_shard = sharded_step(sharded, imgs, labels, rng)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_shard["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
