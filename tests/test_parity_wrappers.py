@@ -109,3 +109,21 @@ def test_wwt_parity(reference, torch):
         expected = ref(x).numpy()
     got = WWT(**kw).apply(convert_wwt(ref.state_dict()), jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_adapter_parity(reference, torch):
+    from vit_pytorch.learnable_memory_vit import ViT as RefViT, Adapter as RefAdapter
+    from vit_pytorch_tpu.models.learnable_memory_vit import ViT, Adapter
+    from vit_pytorch_tpu.utils.convert import convert_adapter
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    rv = RefViT(**kw).eval()
+    ra = RefAdapter(vit=rv, num_classes=5, num_memories_per_layer=3).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ra(x).numpy()
+    mine = Adapter(vit=ViT(**kw), num_classes=5, num_memories_per_layer=3)
+    got = mine.apply(convert_adapter(ra.state_dict()), jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), expected, atol=5e-5, rtol=1e-3)

@@ -1750,6 +1750,36 @@ def convert_learnable_memory_vit(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_adapter(state_dict) -> dict:
+    """reference learnable_memory_vit.py:168-242 Adapter → models/
+    learnable_memory_vit.py Adapter (frozen ViT + learned memory tokens per
+    layer + new head; the block-triangular attn_mask is a buffer we rebuild
+    at trace time)."""
+    rules: list[Rule] = [
+        ("memory_cls_token", "memory_cls_token", identity),
+        ("memories_per_layer", "memories_per_layer", identity),
+        ("attn_mask", "<drop>", identity),
+        (r"vit\.cls_token", "vit/cls_token", identity),
+        (r"vit\.pos_embedding", "vit/pos_embedding", identity),
+    ]
+    rules += patch_embed_rules(r"vit\.to_patch_embedding", "vit/patch_embedding")
+    a = r"vit\.transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{a}\.norm", r"vit/transformer/layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_q\.weight", r"vit/transformer/layers_\1_attn/to_q/kernel", linear_w),
+        (rf"{a}\.to_kv\.weight", r"vit/transformer/layers_\1_attn/to_kv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out\.0", r"vit/transformer/layers_\1_attn/to_out")
+    f = r"vit\.transformer\.layers\.(\d+)\.1\.net"
+    rules += _ln(rf"{f}\.0", r"vit/transformer/layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"vit/transformer/layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.4", r"vit/transformer/layers_\1_ff/fc2")
+    rules += [(r"vit\.mlp_head\..*", "<drop>", identity)]  # replaced by the adapter head
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_rvt(state_dict) -> dict:
     """reference rvt.py:120-185 → models/rvt.py RvT (axial rotary embeddings
     are a deterministic linspace buffer — recomputed at trace time, dropped;
