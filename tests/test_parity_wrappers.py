@@ -127,3 +127,23 @@ def test_adapter_parity(reference, torch):
     mine = Adapter(vit=ViT(**kw), num_classes=5, num_memories_per_layer=3)
     got = mine.apply(convert_adapter(ra.state_dict()), jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got), expected, atol=5e-5, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_vat_vit_parity(reference, torch):
+    """VAT's gated-attention ViT backbone (no trajectory conditioning)."""
+    from vit_pytorch.vat import ViT as Ref
+    from vit_pytorch_tpu.ssl.vat import ViT
+    from vit_pytorch_tpu.utils.convert import convert_vat_vit
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    ref = Ref(**kw).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        out = ref(x)
+    expected = (out[0] if isinstance(out, tuple) else out).numpy()
+    got = ViT(**kw).apply(convert_vat_vit(ref.state_dict()), jnp.asarray(x.numpy()))
+    if isinstance(got, tuple):
+        got = got[0]
+    np.testing.assert_allclose(np.asarray(got), expected, atol=5e-5, rtol=1e-3)

@@ -1750,6 +1750,32 @@ def convert_learnable_memory_vit(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_vat_vit(state_dict) -> dict:
+    """reference vat.py:177-258 ViT → ssl/vat.py ViT (per-head sigmoid output
+    gates, register tokens, split q/kv)."""
+    rules: list[Rule] = [
+        ("pos_embedding", "pos_embedding", identity),
+        ("cls_token", "cls_token", identity),
+        ("register_tokens", "register_tokens", identity),
+    ]
+    rules += patch_embed_rules()
+    a = r"transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_q\.weight", r"layers_\1_attn/to_q/kernel", linear_w),
+        (rf"{a}\.to_kv\.weight", r"layers_\1_attn/to_kv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out_gates\.0", r"layers_\1_attn/to_out_gates")
+    rules += _linear(rf"{a}\.to_out\.0", r"layers_\1_attn/to_out")
+    f = r"transformer\.layers\.(\d+)\.1\.net"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.4", r"layers_\1_ff/fc2")
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_adapter(state_dict) -> dict:
     """reference learnable_memory_vit.py:168-242 Adapter → models/
     learnable_memory_vit.py Adapter (frozen ViT + learned memory tokens per
