@@ -147,3 +147,32 @@ def test_vat_vit_parity(reference, torch):
     if isinstance(got, tuple):
         got = got[0]
     np.testing.assert_allclose(np.asarray(got), expected, atol=5e-5, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_efficient_vit_parity(reference, torch):
+    """The 'efficient' wrapper (external-transformer ViT) with an identity
+    transformer on both sides, isolating the wrapper plumbing."""
+    import flax.linen as fnn
+    from vit_pytorch.efficient import ViT as Ref
+    from vit_pytorch_tpu.models.efficient import ViT
+    from vit_pytorch_tpu.utils.convert import convert_efficient_vit
+
+    class TorchIdentity(torch.nn.Module):
+        def forward(self, x):
+            return x
+
+    class FlaxIdentity(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, *, train: bool = False):
+            return x
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32)
+    ref = Ref(**kw, transformer=TorchIdentity()).eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    got = ViT(**kw, transformer=FlaxIdentity()).apply(
+        convert_efficient_vit(ref.state_dict()), jnp.asarray(x.numpy())
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=5e-5, rtol=1e-3)

@@ -1750,6 +1750,21 @@ def convert_learnable_memory_vit(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_efficient_vit(state_dict, transformer_rules_list=()) -> dict:
+    """reference efficient.py:9-56 → models/efficient.py ViT (wrapper around
+    an arbitrary transformer; pass extra rules for the wrapped transformer's
+    own keys, or none if it is parameter-free)."""
+    rules: list[Rule] = [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    rules += patch_embed_rules()
+    rules += list(transformer_rules_list)
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_vat_vit(state_dict) -> dict:
     """reference vat.py:177-258 ViT → ssl/vat.py ViT (per-head sigmoid output
     gates, register tokens, split q/kv)."""
