@@ -35,7 +35,7 @@ def test_data_parallel_matches_single_device(_model_state):
     step = make_train_step(model, donate=False)
     s_single, m_single = step(state, imgs, labels, rng)
 
-    mesh = make_mesh(data=8)
+    mesh = make_mesh(data=8, devices=jax.devices("cpu"))
     sharded = shard_train_state(state, mesh)
     sharded_step = make_sharded_train_step(model, mesh, donate=False)
     s_shard, m_shard = sharded_step(sharded, imgs, labels, rng)
@@ -61,7 +61,7 @@ def test_tensor_parallel_matches_single_device(_model_state):
     step = make_train_step(model, donate=False)
     s_single, m_single = step(state, imgs, labels, rng)
 
-    mesh = make_mesh(data=4, model=2)
+    mesh = make_mesh(data=4, model=2, devices=jax.devices("cpu"))
     sharded = shard_train_state(state, mesh)
     sharded_step = make_sharded_train_step(model, mesh, donate=False)
     s_shard, m_shard = sharded_step(sharded, imgs, labels, rng)
@@ -71,3 +71,36 @@ def test_tensor_parallel_matches_single_device(_model_state):
     )
     for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_optimizer_moments_follow_param_specs():
+    """Adam mu/nu must carry the TP PartitionSpecs (not be replicated) on a
+    ('data','model') mesh — replicating them wastes the memory TP saves."""
+    import optax
+    from flax.traverse_util import flatten_dict
+    from vit_pytorch_tpu.models.vit import ViT
+    from vit_pytorch_tpu.parallel.mesh import make_mesh, infer_param_shardings
+    from vit_pytorch_tpu.parallel.train import create_train_state, shard_train_state
+
+    model = ViT(image_size=32, patch_size=8, num_classes=5, dim=32, depth=2,
+                heads=2, dim_head=16, mlp_dim=64)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)), optax.adam(1e-3)
+    )
+    mesh = make_mesh(data=4, model=2, devices=jax.devices("cpu"))
+    sharded = shard_train_state(state, mesh)
+
+    param_sh = flatten_dict(infer_param_shardings(state.params, mesh))
+    adam_state = sharded.opt_state[0]  # ScaleByAdamState(count, mu, nu)
+    some_tp_spec_seen = False
+    for moments in (adam_state.mu, adam_state.nu):
+        flat = flatten_dict(moments)
+        assert flat.keys() == param_sh.keys()
+        for key, leaf in flat.items():
+            expected = param_sh[key].spec
+            assert leaf.sharding.spec == expected, (key, leaf.sharding.spec, expected)
+            if any(ax is not None for ax in expected):
+                some_tp_spec_seen = True
+    assert some_tp_spec_seen  # the model must actually exercise TP rules
+    # scalar count stays replicated
+    assert adam_state.count.sharding.spec == jax.sharding.PartitionSpec()

@@ -21,35 +21,49 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _available_devices(min_count: int = 1):
-    """Devices for mesh building.  Prefers the default backend; falls back to
-    host CPU devices (xla_force_host_platform_device_count) when the default
-    backend has too few chips — this is how multi-chip shardings are validated
-    on a single-chip or chipless machine."""
+def _available_devices(min_count: int = 1, allow_cpu_fallback: bool = False):
+    """Devices for mesh building.  Uses the default backend; only falls back
+    to host CPU devices (xla_force_host_platform_device_count) when the
+    caller explicitly opts in — a mis-sized request on a real multi-chip job
+    must error, not silently run on host CPUs."""
     devs = jax.devices()
     if len(devs) >= min_count:
         return devs
-    try:
-        cpu = jax.devices("cpu")
-        if len(cpu) >= min_count:
-            return cpu
-    except RuntimeError:
-        pass
-    return devs
+    if allow_cpu_fallback:
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= min_count:
+                return cpu
+        except RuntimeError:
+            pass
+    raise ValueError(
+        f"make_mesh needs {min_count} devices but the default backend has "
+        f"{len(devs)} ({devs[0].platform if devs else 'none'}). Pass "
+        f"devices=jax.devices('cpu') (with xla_force_host_platform_device_count "
+        f"set) to validate shardings on a virtual CPU mesh, or "
+        f"allow_cpu_fallback=True to opt into the fallback explicitly."
+    )
 
 
 def make_mesh(
-    data: Optional[int] = None, model: int = 1, devices=None
+    data: Optional[int] = None,
+    model: int = 1,
+    devices=None,
+    allow_cpu_fallback: bool = False,
 ) -> Mesh:
     """Build a ('data', 'model') mesh.  ``data`` defaults to filling all
     devices after 'model' is taken."""
     if devices is None:
-        devices = _available_devices(model if data is None else data * model)
+        devices = _available_devices(
+            model if data is None else data * model, allow_cpu_fallback
+        )
     n = len(devices)
     if data is None:
         assert n % model == 0
         data = n // model
-    assert data * model <= n
+    assert data * model <= n, (
+        f"mesh {data}x{model} needs {data * model} devices, got {n}"
+    )
     dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 

@@ -88,14 +88,30 @@ def make_train_step(
 
 def shard_train_state(state: TrainState, mesh) -> TrainState:
     """Lay out params (TP specs where they divide; replicated otherwise) and
-    optimizer state across the mesh."""
+    optimizer state across the mesh.
+
+    Optimizer moments (e.g. Adam mu/nu) are param-shaped pytrees inside the
+    optax state — they follow the param PartitionSpecs, so TP actually saves
+    optimizer memory instead of replicating 2x param bytes per chip.  Scalars
+    (step counts, schedules) are replicated.
+    """
     param_sh = infer_param_shardings(state.params, mesh)
     params = jax.device_put(state.params, param_sh)
 
-    def opt_sharding(leaf_path_tree):
-        return jax.tree.map(lambda _: replicated(mesh), leaf_path_tree)
+    param_struct = jax.tree.structure(state.params)
 
-    opt_state = jax.device_put(state.opt_state, opt_sharding(state.opt_state))
+    def _is_param_like(subtree) -> bool:
+        try:
+            return jax.tree.structure(subtree) == param_struct
+        except Exception:
+            return False
+
+    def _place(subtree):
+        if _is_param_like(subtree):
+            return jax.device_put(subtree, param_sh)
+        return jax.device_put(subtree, replicated(mesh))
+
+    opt_state = jax.tree.map(_place, state.opt_state, is_leaf=_is_param_like)
     return state.replace(params=params, opt_state=opt_state)
 
 
