@@ -511,10 +511,11 @@ def test_simple_vit_orthog_residual_parity(reference, torch):
 
 @pytest.mark.parity
 def test_simple_flash_attn_vit_parity(reference, torch):
-    """Same layout as SimpleViT — the reference delta is just SDPA flash."""
+    """The variant's real architecture: no transformer final LN, head =
+    LN→Linear after mean pool (reference simple_flash_attn_vit.py:159-166)."""
     from vit_pytorch.simple_flash_attn_vit import SimpleViT as Ref
     from vit_pytorch_tpu.models.simple_flash_attn_vit import SimpleViT
-    from vit_pytorch_tpu.utils.convert import convert_simple_vit
+    from vit_pytorch_tpu.utils.convert import convert_simple_flash_attn_vit
 
     kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
               heads=2, dim_head=16, mlp_dim=64)
@@ -522,15 +523,19 @@ def test_simple_flash_attn_vit_parity(reference, torch):
     x = torch.randn(2, 3, 32, 32)
     with torch.no_grad():
         expected = ref(x).numpy()
-    got = SimpleViT(**kw).apply(convert_simple_vit(ref.state_dict()), jnp.asarray(x.numpy()))
+    got = SimpleViT(**kw).apply(
+        convert_simple_flash_attn_vit(ref.state_dict()), jnp.asarray(x.numpy())
+    )
     _check(got, expected)
 
 
 @pytest.mark.parity
 def test_simple_flash_attn_vit_3d_parity(reference, torch):
+    """No transformer final LN; plain Linear head (reference
+    simple_flash_attn_vit_3d.py:158)."""
     from vit_pytorch.simple_flash_attn_vit_3d import SimpleViT as Ref
     from vit_pytorch_tpu.models.simple_flash_attn_vit_3d import SimpleViT
-    from vit_pytorch_tpu.utils.convert import convert_simple_vit
+    from vit_pytorch_tpu.utils.convert import convert_simple_flash_attn_vit_3d
 
     kw = dict(image_size=32, image_patch_size=8, frames=4, frame_patch_size=2,
               num_classes=7, dim=32, depth=2, heads=2, dim_head=16, mlp_dim=64)
@@ -538,5 +543,7 @@ def test_simple_flash_attn_vit_3d_parity(reference, torch):
     x = torch.randn(2, 3, 4, 32, 32)
     with torch.no_grad():
         expected = ref(x).numpy()
-    got = SimpleViT(**kw).apply(convert_simple_vit(ref.state_dict()), jnp.asarray(x.numpy()))
+    got = SimpleViT(**kw).apply(
+        convert_simple_flash_attn_vit_3d(ref.state_dict()), jnp.asarray(x.numpy())
+    )
     _check(got, expected)

@@ -24,6 +24,9 @@ class SimpleTransformer(nn.Module):
     dim_head: int
     mlp_dim: int
     flash: Optional[bool] = None
+    # the flash-attention variants (reference simple_flash_attn_vit.py:124-137)
+    # end the loop WITHOUT a trailing LayerNorm
+    final_norm: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, rotary=None):
@@ -46,7 +49,9 @@ class SimpleTransformer(nn.Module):
                 )(x, train=train)
                 + x
             )
-        return nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
+        return x
 
 
 class SimpleViT(nn.Module):

@@ -1319,6 +1319,28 @@ convert_simple_vit_1d = convert_simple_vit
 convert_simple_vit_3d = convert_simple_vit
 
 
+def convert_simple_flash_attn_vit(state_dict) -> dict:
+    """reference simple_flash_attn_vit.py:139-176 → models/simple_flash_attn_vit.py.
+    No transformer final norm; linear_head = Sequential(LayerNorm, Linear)
+    after mean pool (reference :160-163)."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += transformer_rules(simple=True)[:-2]  # drop final-norm rules
+    rules += _ln(r"linear_head\.0", "head_norm")
+    rules += _linear(r"linear_head\.1", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_simple_flash_attn_vit_3d(state_dict) -> dict:
+    """reference simple_flash_attn_vit_3d.py:136-171 → models/simple_flash_attn_vit_3d.py.
+    No transformer final norm; plain Linear head (reference :158)."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += transformer_rules(simple=True)[:-2]
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_simple_vit_with_qk_norm(state_dict) -> dict:
     """reference simple_vit_with_qk_norm.py:84-134: SimpleViT + RMSNorm on q/k
     (gamma per head); the reference's ``linear_head`` is actually a LayerNorm
