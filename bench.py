@@ -31,6 +31,58 @@ VIT_B16_224_FWD_GFLOPS = 35.2
 V5E_PEAK_TFLOPS = 197.0
 
 
+def measure_train_step(batch=1024, steps=3):
+    """ViT-B bs=1024 train-step time (the BASELINE.md training metric).
+
+    Config per docs/PERF_NOTES.md: remat (required — without it the step
+    needs 22.4 GB > 15.75 GB HBM), bf16 params, optax adam.
+    """
+    import optax
+
+    from vit_pytorch_tpu import ViT
+
+    model = ViT(
+        image_size=224,
+        patch_size=16,
+        num_classes=1000,
+        dim=768,
+        depth=12,
+        heads=12,
+        mlp_dim=3072,
+        remat=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (batch, 3, 224, 224), jnp.bfloat16)
+    labels = jnp.zeros((batch,), jnp.int32)
+    params = model.init(rng, img[:1].astype(jnp.float32))["params"]
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    tx = optax.adam(3e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, img, labels):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, img)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params, opt_state, loss = step(params, opt_state, img, labels)
+    float(loss)  # compile + warm (host fetch syncs through the tunnel)
+    best = float("inf")
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, img, labels)
+        float(loss)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3  # ms
+
+
 def main():
     from vit_pytorch_tpu import ViT
 
@@ -81,18 +133,28 @@ def main():
         f"(bs={batch}), ~{mxu_util * 100:.1f}% of v5e bf16 roofline",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "vit_b16_224_bf16_inference",
-                "value": round(imgs_per_sec, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(
-                    imgs_per_sec / A100_TORCH_COMPILE_IMGS_PER_SEC, 3
-                ),
-            }
+
+    train_ms = None
+    try:
+        train_ms = measure_train_step()
+        print(
+            f"# train: ViT-B bs=1024 {train_ms:.0f} ms/step "
+            f"({1024 / train_ms * 1e3:.0f} img/s)",
+            file=sys.stderr,
         )
-    )
+    except Exception as e:  # train metric is auxiliary; never fail the bench
+        print(f"# train-step measurement failed: {e!r}", file=sys.stderr)
+
+    record = {
+        "metric": "vit_b16_224_bf16_inference",
+        "value": round(imgs_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_TORCH_COMPILE_IMGS_PER_SEC, 3),
+    }
+    if train_ms is not None:
+        record["train_step_ms_vitb_bs1024"] = round(train_ms, 1)
+        record["train_imgs_per_sec_vitb_bs1024"] = round(1024 / train_ms * 1e3, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

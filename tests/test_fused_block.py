@@ -1,0 +1,84 @@
+"""Kernel-vs-XLA equivalence for the fused attention-block Pallas kernel
+(ops/fused_block.py) — run in interpreter mode on CPU (SURVEY §4:
+kernel-vs-XLA-reference tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_pytorch_tpu.ops.fused_block import (
+    _xla_reference,
+    fused_attention_block,
+)
+
+B, H, N, D = 2, 4, 23, 16
+DIM = H * D
+
+
+def _inputs(dtype, qkv_bias=True, out_bias=True):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (B, N, DIM), dtype)
+    res = jax.random.normal(ks[1], (B, N, DIM), dtype)
+    w_qkv = jax.random.normal(ks[2], (DIM, 3 * DIM), dtype) * 0.05
+    b_qkv = jax.random.normal(ks[3], (3 * DIM,), dtype) * 0.05 if qkv_bias else None
+    w_out = jax.random.normal(ks[4], (DIM, DIM), dtype) * 0.05
+    b_out = jax.random.normal(ks[5], (DIM,), dtype) * 0.05 if out_bias else None
+    lns = 1.0 + 0.1 * jax.random.normal(ks[6], (DIM,), dtype)
+    lnb = 0.1 * jax.random.normal(ks[7], (DIM,), dtype)
+    return x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb
+
+
+@pytest.mark.parametrize("qkv_bias,out_bias", [(True, True), (False, True), (False, False)])
+def test_fused_block_matches_xla_reference(qkv_bias, out_bias):
+    x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb = _inputs(
+        jnp.float32, qkv_bias, out_bias
+    )
+    kw = dict(heads=H, dim_head=D)
+    want = _xla_reference(
+        x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb, scale=D**-0.5, eps=1e-5, **kw
+    )
+    got = fused_attention_block(
+        x, res, w_qkv, w_out, lns, lnb, b_qkv=b_qkv, b_out=b_out,
+        interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_block_grad_matches_reference():
+    """custom_vjp backward is the vjp of the XLA composite — grads must agree
+    with differentiating the composite directly."""
+    x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb = _inputs(jnp.float32)
+    kw = dict(heads=H, dim_head=D)
+
+    def loss_fused(x, w_qkv, w_out, lns, lnb):
+        out = fused_attention_block(
+            x, res, w_qkv, w_out, lns, lnb, b_qkv=b_qkv, b_out=b_out,
+            interpret=True, **kw
+        )
+        return jnp.sum(out**2)
+
+    def loss_ref(x, w_qkv, w_out, lns, lnb):
+        out = _xla_reference(
+            x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb,
+            scale=D**-0.5, eps=1e-5, **kw
+        )
+        return jnp.sum(out**2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w_qkv, w_out, lns, lnb)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w_qkv, w_out, lns, lnb)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+
+
+def test_attention_module_residual_kwarg():
+    """Attention(residual=x) equals Attention(x) + x on the module path."""
+    from vit_pytorch_tpu.nn.blocks import Attention
+
+    attn = Attention(dim=DIM, heads=H, dim_head=D)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, N, DIM))
+    params = attn.init(jax.random.PRNGKey(0), x)
+    plain = attn.apply(params, x) + x
+    folded = attn.apply(params, x, residual=x)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain), atol=1e-6)

@@ -31,18 +31,15 @@ class SimpleTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False, rotary=None):
         for i in range(self.depth):
-            x = (
-                Attention(
-                    dim=self.dim,
-                    heads=self.heads,
-                    dim_head=self.dim_head,
-                    out_bias=False,
-                    project_out=True,
-                    flash=self.flash,
-                    name=f"layers_{i}_attn",
-                )(x, rotary=rotary, train=train)
-                + x
-            )
+            x = Attention(
+                dim=self.dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                out_bias=False,
+                project_out=True,
+                flash=self.flash,
+                name=f"layers_{i}_attn",
+            )(x, rotary=rotary, train=train, residual=x)
             x = (
                 FeedForward(
                     dim=self.dim, hidden_dim=self.mlp_dim, name=f"layers_{i}_ff"

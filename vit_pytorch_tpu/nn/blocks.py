@@ -26,11 +26,53 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import dot_product_attention, on_tpu
+from ..ops.fused_block import fused_attention_block, fused_block_supported
 from ..utils.helpers import default, exists
 
 # torch parity defaults
 LN_EPS = 1e-5
+
+
+class _LNParams(nn.Module):
+    """Parameter container producing the exact tree nn.LayerNorm would
+    (scale/bias) — lets the fused-block kernel read LN params without
+    running the module."""
+
+    dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.dim,))
+            if self.use_bias
+            else None
+        )
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter container matching nn.Dense's tree (kernel/bias)."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
 
 
 class LayerNorm(nn.Module):
@@ -189,10 +231,65 @@ class Attention(nn.Module):
         rotary: Optional[Callable] = None,
         train: bool = False,
         return_attn: bool = False,
+        residual=None,
     ):
+        """``residual``: optional tensor added to the output.  When given by
+        the transformer loop it rides into the fused-block kernel so the
+        whole pre-norm attention layer (LN→qkv→attn→out→+residual) is one
+        Pallas call on TPU; on the module path it is a plain add."""
         h, dh = self.heads, self.dim_head
         inner = h * dh
         project_out = default(self.project_out, not (h == 1 and dh == self.dim))
+
+        record = self.is_mutable_collection("intermediates") or return_attn
+
+        fused_ok = (
+            not exists(context)
+            and not self.force_split_qkv
+            and self.pre_norm
+            and not self.qk_norm
+            and not exists(rotary)
+            and mask is None
+            and bias is None
+            and q_segment_ids is None
+            and kv_segment_ids is None
+            and not record
+            and (self.dropout == 0.0 or not train)
+            and project_out
+            and x.ndim == 3
+            and fused_block_supported(x.shape, x.dtype, h, dh, self.dim)
+            and on_tpu()
+        )
+        if fused_ok:
+            ln_scale, ln_bias = _LNParams(
+                self.dim, use_bias=self.norm_bias, name="norm"
+            )()
+            w_qkv, b_qkv = _DenseParams(
+                inner * 3, self.dim, use_bias=self.qkv_bias, name="to_qkv"
+            )()
+            w_out, b_out = _DenseParams(
+                self.dim, inner, use_bias=self.out_bias, name="to_out"
+            )()
+            # serving dtype is x.dtype (bf16-gated above); fp32 master
+            # weights are cast down exactly as a bf16 deployment would
+            cast = lambda w: None if w is None else w.astype(x.dtype)
+            if ln_bias is None:
+                ln_bias = jnp.zeros((self.dim,), x.dtype)
+            res = residual if residual is not None else jnp.zeros_like(x)
+            return fused_attention_block(
+                x,
+                res,
+                cast(w_qkv),
+                cast(w_out),
+                cast(ln_scale),
+                cast(ln_bias),
+                heads=h,
+                dim_head=dh,
+                b_qkv=cast(b_qkv),
+                b_out=cast(b_out),
+                scale=self.scale,
+                eps=LN_EPS,
+            )
 
         if self.pre_norm:
             x = nn.LayerNorm(epsilon=LN_EPS, use_bias=self.norm_bias, name="norm")(x)
@@ -228,8 +325,6 @@ class Attention(nn.Module):
 
         if exists(rotary):
             q, k = rotary(q), rotary(k)
-
-        record = self.is_mutable_collection("intermediates") or return_attn
 
         dropout_rng = None
         if self.dropout > 0.0 and train:
@@ -273,6 +368,9 @@ class Attention(nn.Module):
         if project_out:
             out = nn.Dense(self.dim, use_bias=self.out_bias, name="to_out")(out)
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
+
+        if residual is not None:
+            out = out + residual
 
         if return_attn:
             return out, attn
@@ -321,7 +419,9 @@ class Transformer(nn.Module):
     ):
         def attn_call(mdl, h):
             # statics (train, rotary) and shared arrays (mask/bias/segments)
-            # ride in the closure; only h is checkpointed through
+            # ride in the closure; only h is checkpointed through.  residual
+            # is folded into the attention call so the fused TPU kernel can
+            # do LN→qkv→attn→out→+residual in one pass
             return mdl(
                 h,
                 mask=mask,
@@ -330,6 +430,7 @@ class Transformer(nn.Module):
                 kv_segment_ids=kv_segment_ids,
                 rotary=rotary,
                 train=train,
+                residual=h,
             )
 
         def ff_call(mdl, h):
@@ -353,7 +454,7 @@ class Transformer(nn.Module):
                 flash=self.flash,
                 name=f"layers_{i}_attn",
             )
-            x = attn_call(attn, x) + x
+            x = attn_call(attn, x)
             ff = FeedForward(
                 dim=self.dim,
                 hidden_dim=self.mlp_dim,

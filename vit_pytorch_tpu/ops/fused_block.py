@@ -1,0 +1,286 @@
+"""Fused pre-norm attention block: ONE Pallas TPU kernel for
+LN → qkv GEMM → per-head softmax attention → out GEMM (+bias) → residual.
+
+Motivation (measured on v5e, tools/bench_attn_variants.py): for ViT-sized
+sequences the XLA attention block is NOT one fusion — LayerNorm (0.47 ms),
+softmax (0.61 ms), the attention einsums (0.49 ms) and the qkv/out GEMMs
+(0.54 ms) each round-trip HBM, summing to ~2.4 ms/layer at b=128/n=197/
+d=768.  Keeping every intermediate (LN output, qkv, logits, probs, merged
+heads) in VMEM cuts the block to ~1.25 ms/layer — the logits matrix never
+touches HBM at all.
+
+Grid is over the batch; the qkv/out weights stay resident in VMEM across
+grid steps.  Softmax and LayerNorm statistics are computed in fp32; GEMMs
+accumulate fp32 on the MXU (bf16 operands).
+
+Backward: ``jax.custom_vjp`` falling back to the XLA composite — inference
+serving gets the fused kernel, training gets XLA's autodiff graph (which
+re-fuses well in the backward direction and supports remat).
+
+No reference counterpart: the reference reaches flash attention only through
+``F.scaled_dot_product_attention`` (simple_flash_attn_vit.py:56-64) and
+never fuses across the projection GEMMs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# VMEM is ~16 MB/core; stay well under it (weights + activations + double
+# buffering).  Estimated in _vmem_bytes below.
+_VMEM_LIMIT = 12 * 1024 * 1024
+
+
+def _vmem_bytes(n: int, dim: int, inner: int, heads: int, itemsize: int) -> int:
+    weights = dim * 3 * inner * itemsize + inner * dim * itemsize
+    acts = (
+        2 * n * dim * itemsize  # x + out
+        + n * 3 * inner * itemsize  # qkv
+        + n * dim * 4  # fp32 LN temp
+        + 2 * n * n * 4  # live fp32 logits (a couple of heads in flight)
+        + n * inner * itemsize  # merged heads
+    )
+    return 2 * weights // 2 + acts + weights  # weights resident once + margin
+
+
+def fused_block_supported(
+    x_shape, dtype, heads: int, dim_head: int, dim: int
+) -> bool:
+    """Static eligibility: 3-D input, bf16 (the serving dtype — fp32 stays on
+    the parity-exact XLA path), and the working set fits VMEM.
+
+    Set ``VIT_TPU_DISABLE_FUSED=1`` to force the XLA composite everywhere
+    (debugging / A-B numerics checks)."""
+    import os
+
+    if os.environ.get("VIT_TPU_DISABLE_FUSED"):
+        return False
+    if len(x_shape) != 3:
+        return False
+    if dtype != jnp.bfloat16:
+        return False
+    b, n, d = x_shape
+    if d != dim:
+        return False
+    inner = heads * dim_head
+    if _vmem_bytes(n, dim, inner, heads, 2) > _VMEM_LIMIT:
+        return False
+    return True
+
+
+def _kernel(
+    x_ref,
+    res_ref,
+    wqkv_ref,
+    bqkv_ref,
+    wout_ref,
+    bout_ref,
+    lns_ref,
+    lnb_ref,
+    o_ref,
+    *,
+    heads: int,
+    dim_head: int,
+    scale: float,
+    eps: float,
+    with_bqkv: bool,
+    with_bout: bool,
+):
+    x = x_ref[0]  # (n, dim)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    ln = ln.astype(x.dtype)
+
+    qkv = jnp.dot(ln, wqkv_ref[...], preferred_element_type=jnp.float32)
+    if with_bqkv:
+        qkv = qkv + bqkv_ref[0].astype(jnp.float32)
+    qkv = qkv.astype(x.dtype)  # (n, 3*inner)
+
+    inner = heads * dim_head
+    outs = []
+    for h in range(heads):
+        sl = slice(h * dim_head, (h + 1) * dim_head)
+        q = qkv[:, sl]
+        k = qkv[:, inner + h * dim_head : inner + (h + 1) * dim_head]
+        v = qkv[:, 2 * inner + h * dim_head : 2 * inner + (h + 1) * dim_head]
+        logits = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
+        outs.append(o.astype(x.dtype))
+    merged = jnp.concatenate(outs, axis=-1)  # (n, inner)
+
+    out = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32)
+    if with_bout:
+        out = out + bout_ref[0].astype(jnp.float32)
+    out = out + res_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(x.dtype)
+
+
+def _xla_reference(
+    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, *, heads, dim_head, scale, eps
+):
+    """Composite the kernel replaces — used for the backward pass, the
+    non-TPU (interpret-free) path, and kernel equivalence tests."""
+    b, n, dim = x.shape
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    ln = ln.astype(x.dtype)
+    qkv = ln @ w_qkv
+    if b_qkv is not None:
+        qkv = qkv + b_qkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    rs = lambda t: t.reshape(b, n, heads, dim_head).transpose(0, 2, 1, 3)
+    q, k, v = rs(q), rs(k), rs(v)
+    dots = (
+        jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    attn = jax.nn.softmax(dots, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+    o = o.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, n, heads * dim_head)
+    out = o @ w_out
+    if b_out is not None:
+        out = out + b_out
+    return residual + out
+
+
+def _pallas_forward(
+    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, *, heads, dim_head, scale, eps, interpret=False
+):
+    b, n, dim = x.shape
+    inner = heads * dim_head
+    with_bqkv = b_qkv is not None
+    with_bout = b_out is not None
+    # pallas needs concrete operands; feed zeros where bias is absent (the
+    # kernel skips the add so the zeros are never read)
+    bqkv_arr = (b_qkv if with_bqkv else jnp.zeros((3 * inner,), x.dtype)).reshape(1, -1)
+    bout_arr = (b_out if with_bout else jnp.zeros((dim,), x.dtype)).reshape(1, -1)
+
+    kern = functools.partial(
+        _kernel,
+        heads=heads,
+        dim_head=dim_head,
+        scale=scale,
+        eps=eps,
+        with_bqkv=with_bqkv,
+        with_bout=with_bout,
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((dim, 3 * inner), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * inner), lambda i: (0, 0)),
+            pl.BlockSpec((inner, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(
+        x,
+        residual,
+        w_qkv,
+        bqkv_arr,
+        w_out,
+        bout_arr,
+        ln_scale.reshape(1, -1),
+        ln_bias.reshape(1, -1),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _fused(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, heads, dim_head, scale, eps, interpret):
+    return _pallas_forward(
+        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+        heads=heads, dim_head=dim_head, scale=scale, eps=eps, interpret=interpret,
+    )
+
+
+def _fused_fwd(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, heads, dim_head, scale, eps, interpret):
+    out = _pallas_forward(
+        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+        heads=heads, dim_head=dim_head, scale=scale, eps=eps, interpret=interpret,
+    )
+    return out, (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias)
+
+
+def _fused_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
+    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias = residuals
+
+    def f(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias):
+        return _xla_reference(
+            x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+            heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+        )
+
+    _, vjp = jax.vjp(f, x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_attention_block(
+    x,
+    residual,
+    w_qkv,
+    w_out,
+    ln_scale,
+    ln_bias,
+    *,
+    heads: int,
+    dim_head: int,
+    b_qkv=None,
+    b_out=None,
+    scale: Optional[float] = None,
+    eps: float = 1e-5,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+):
+    """residual + OutProj(Attention(LN(x) @ Wqkv)) as one kernel.
+
+    ``use_pallas=None`` auto-selects: Pallas on TPU when supported, XLA
+    composite otherwise (CPU tests, unsupported shapes/dtypes).
+    ``interpret=True`` runs the Pallas kernel in interpreter mode (CPU
+    kernel-equivalence tests).
+    """
+    if scale is None:
+        scale = dim_head**-0.5
+    if use_pallas is None:
+        from .attention import on_tpu
+
+        use_pallas = on_tpu() and fused_block_supported(
+            x.shape, x.dtype, heads, dim_head, x.shape[-1]
+        )
+    if not use_pallas and not interpret:
+        return _xla_reference(
+            x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+            heads=heads, dim_head=dim_head, scale=float(scale), eps=eps,
+        )
+    return _fused(
+        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+        heads, dim_head, float(scale), eps, interpret,
+    )
