@@ -23,12 +23,25 @@ def test_cct_3d():
     assert m.apply(p, x).shape == (2, 10)
 
 
-def test_na_vit_nested_tensor_alias():
-    # the nested-tensor variant IS the packed implementation on TPU
-    from vit_pytorch_tpu.models.na_vit_nested_tensor import NaViT, forward_packed
-    from vit_pytorch_tpu.models.na_vit import NaViT as PackedNaViT
+def test_na_vit_nested_tensor_architecture():
+    # the variant's real deltas: split q/k/v, LN qk-norm, biased patch LNs
+    from flax.traverse_util import flatten_dict
+    from vit_pytorch_tpu.models.na_vit_nested_tensor import NaViT
+    from vit_pytorch_tpu.ops.packing import pack_images
 
-    assert NaViT is PackedNaViT
+    rng = np.random.default_rng(0)
+    imgs = [rng.standard_normal((3, 32, 32)).astype(np.float32)]
+    packed = pack_images(imgs, 16, max_seq_len=8)
+    m = NaViT(image_size=32, patch_size=16, num_classes=5, dim=32, depth=1,
+              heads=2, dim_head=16, mlp_dim=64)
+    p = m.init(jax.random.PRNGKey(0), packed)
+    flat = {"/".join(map(str, k)) for k in flatten_dict(p["params"])}
+    assert "transformer/layers_0_attn/to_q/kernel" in flat
+    assert "transformer/layers_0_attn/to_k/kernel" in flat
+    assert "transformer/layers_0_attn/to_v/kernel" in flat
+    assert "transformer/layers_0_attn/q_norm/scale" in flat
+    assert "patch_norm_pre/bias" in flat  # biased patch-embed LN
+    assert m.apply(p, packed).shape == (1, 1, 5)
 
 
 def test_na_vit_nested_tensor_3d():

@@ -108,3 +108,46 @@ def test_navit_parity(reference, torch):
     params = convert_na_vit(ref.state_dict())
     got = forward_packed(model, params, imgs_np, group_max_seq_len=24)
     np.testing.assert_allclose(got, expected, atol=5e-5, rtol=1e-4)
+
+
+def test_navit_nested_tensor_packed_equivalence():
+    from vit_pytorch_tpu.models.na_vit_nested_tensor import NaViT as NTNaViT, forward_images
+
+    rng = np.random.default_rng(0)
+    model = NTNaViT(image_size=64, patch_size=16, num_classes=11, dim=64,
+                    depth=2, heads=4, dim_head=16, mlp_dim=128)
+    imgs = _images(rng, [(64, 64), (32, 32), (32, 64)])
+    packed = pack_images(imgs, 16, max_seq_len=64)
+    params = model.init(jax.random.PRNGKey(0), packed)
+
+    out = forward_images(model, params, imgs, max_seq_len=64)
+    assert out.shape == (3, 11)
+    out_single = forward_images(model, params, imgs, max_seq_len=16)
+    np.testing.assert_allclose(out, out_single, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parity
+def test_navit_nested_tensor_parity(reference, torch):
+    """Variable-resolution parity vs the jagged-tensor reference
+    (na_vit_nested_tensor.py:134-301) at the same tolerance as
+    test_navit_parity."""
+    from vit_pytorch.na_vit_nested_tensor import NaViT as RefNT
+    from vit_pytorch_tpu.models.na_vit_nested_tensor import NaViT as NTNaViT, forward_images
+    from vit_pytorch_tpu.utils.convert import convert_na_vit_nested_tensor
+
+    kw = dict(image_size=64, patch_size=16, num_classes=11, dim=64, depth=2,
+              heads=4, dim_head=16, mlp_dim=128)
+    ref = RefNT(**kw, token_dropout_prob=0.1).eval()
+
+    rng = np.random.default_rng(0)
+    sizes = [(64, 64), (32, 32), (32, 64), (64, 32), (16, 16)]
+    imgs_np = _images(rng, sizes)
+    imgs_t = [torch.tensor(im) for im in imgs_np]
+
+    with torch.no_grad():
+        expected = ref(imgs_t).numpy()
+
+    model = NTNaViT(**kw, token_dropout_prob=0.1)
+    params = convert_na_vit_nested_tensor(ref.state_dict())
+    got = forward_images(model, params, imgs_np, max_seq_len=24)
+    np.testing.assert_allclose(got, expected, atol=5e-5, rtol=1e-4)

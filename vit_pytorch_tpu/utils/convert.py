@@ -546,6 +546,46 @@ def convert_na_vit(state_dict) -> dict:
     return apply_rules(sd, rules)
 
 
+def convert_na_vit_nested_tensor(state_dict) -> dict:
+    """reference na_vit_nested_tensor.py:134-301 →
+    models/na_vit_nested_tensor.py NaViT params (split q/k/v, LayerNorm
+    qk-norm, biased patch-embed LNs)."""
+
+    def attn_rules(src: str, dst: str) -> list[Rule]:
+        return [
+            (rf"{src}\.norm\.weight", rf"{dst}/norm/scale", identity),
+            (rf"{src}\.to_queries\.weight", rf"{dst}/to_q/kernel", linear_w),
+            (rf"{src}\.to_keys\.weight", rf"{dst}/to_k/kernel", linear_w),
+            (rf"{src}\.to_values\.weight", rf"{dst}/to_v/kernel", linear_w),
+            (rf"{src}\.query_norm\.weight", rf"{dst}/q_norm/scale", identity),
+            (rf"{src}\.key_norm\.weight", rf"{dst}/k_norm/scale", identity),
+            (rf"{src}\.to_out\.weight", rf"{dst}/to_out/kernel", linear_w),
+        ]
+
+    rules: list[Rule] = [
+        (r"to_patch_embedding\.0\.weight", "patch_norm_pre/scale", identity),
+        (r"to_patch_embedding\.0\.bias", "patch_norm_pre/bias", identity),
+        (r"to_patch_embedding\.1\.weight", "patch_proj/kernel", linear_w),
+        (r"to_patch_embedding\.1\.bias", "patch_proj/bias", identity),
+        (r"to_patch_embedding\.2\.weight", "patch_norm_post/scale", identity),
+        (r"to_patch_embedding\.2\.bias", "patch_norm_post/bias", identity),
+        ("pos_embed_height", "pos_embed_height", identity),
+        ("pos_embed_width", "pos_embed_width", identity),
+        ("attn_pool_queries", "attn_pool_queries", identity),
+        (r"transformer\.norm\.weight", "transformer/norm/scale", identity),
+        (r"mlp_head\.0\.weight", "head_norm/scale", identity),
+        (r"mlp_head\.1\.weight", "mlp_head/kernel", linear_w),
+    ]
+    rules += attn_rules(r"transformer\.layers\.(\d+)\.0", r"transformer/layers_\1_attn")
+    rules += [
+        (r"transformer\.layers\.(\d+)\.1\.0\.weight", r"transformer/layers_\1_ff/norm/scale", identity),
+    ]
+    rules += _linear(r"transformer\.layers\.(\d+)\.1\.1", r"transformer/layers_\1_ff/fc1")
+    rules += _linear(r"transformer\.layers\.(\d+)\.1\.4", r"transformer/layers_\1_ff/fc2")
+    rules += attn_rules(r"attn_pool", "attn_pool")
+    return apply_rules(state_dict, rules)
+
+
 def convert_small_dataset_vit(state_dict) -> dict:
     """reference vit_for_small_dataset.py:98-140 → models/vit_for_small_dataset.py
     (SPT patch tokens, LSA learned-temperature attention)."""
