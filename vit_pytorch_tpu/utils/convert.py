@@ -546,6 +546,194 @@ def convert_na_vit(state_dict) -> dict:
     return apply_rules(sd, rules)
 
 
+def convert_simple_uvit(state_dict) -> dict:
+    """reference simple_uvit.py:106-158 → models/simple_uvit.py SimpleUViT.
+
+    transformer.layers.N = [combine_skip Linear|None, Attention, FeedForward]
+    (simple_uvit.py:77-81); None entries never reach the state_dict."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += [("register_tokens", "register_tokens", identity)]
+    rules += _linear(
+        r"transformer\.layers\.(\d+)\.0", r"layers_\1_combine_skip"
+    )
+    a = r"transformer\.layers\.(\d+)\.1"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+        (rf"{a}\.to_out\.weight", r"layers_\1_attn/to_out/kernel", linear_w),
+    ]
+    f = r"transformer\.layers\.(\d+)\.2"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.3", r"layers_\1_ff/fc2")
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _linear("linear_head", "linear_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_vit_with_patch_dropout(state_dict) -> dict:
+    """reference vit_with_patch_dropout.py:96-147 → models/vit_with_patch_dropout.py
+    (bare-Linear patch embed, no transformer final norm, LN→Linear head)."""
+    rules: list[Rule] = []
+    rules += _linear(r"to_patch_embedding\.1", "patch_embedding/proj")
+    rules += [
+        ("pos_embedding", "pos_embedding", identity),
+        ("cls_token", "cls_token", identity),
+    ]
+    rules += transformer_rules()[:-2]  # no final norm
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
+def convert_vit_with_keel_post_ln(state_dict) -> dict:
+    """reference vit_with_keel_post_ln.py:121-217 → models/vit_with_keel_post_ln.py.
+
+    The torch transformer is one flat ModuleList alternating
+    Attention/FeedForward (layers.2i = attn of layer i, layers.2i+1 = ff,
+    reference :90-94) plus bias-free post_norms; the head is a plain
+    Linear."""
+    import re as _re
+
+    sd = {}
+    for k, v in state_dict.items():
+        m = _re.match(r"transformer\.layers\.(\d+)\.(.*)", k)
+        if m:
+            flat, rest = int(m.group(1)), m.group(2)
+            kind = "attn" if flat % 2 == 0 else "ff"
+            sd[f"transformer.layer_{flat // 2}_{kind}.{rest}"] = v
+        else:
+            sd[k] = v
+
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += [
+        ("pos_embedding", "pos_embedding", identity),
+        ("cls_token", "cls_token", identity),
+    ]
+    a = r"transformer\.layer_(\d+)_attn"
+    rules += [
+        (rf"{a}\.norm\.weight", r"layers_\1_attn/norm/scale", identity),
+        (rf"{a}\.to_qkv\.weight", r"layers_\1_attn/to_qkv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out\.0", r"layers_\1_attn/to_out")
+    f = r"transformer\.layer_(\d+)_ff"
+    rules += [
+        (rf"{f}\.net\.0\.weight", r"layers_\1_ff/norm/scale", identity),
+    ]
+    rules += _linear(rf"{f}\.net\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.net\.4", r"layers_\1_ff/fc2")
+    rules += [
+        (r"transformer\.post_norms\.(\d+)\.weight", r"post_norms_\1/scale", identity),
+    ]
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(sd, rules)
+
+
+def convert_jet_vit(state_dict, attn_layers=None, depth=None) -> dict:
+    """reference jet_vit.py:292-359 → models/jet_vit.py JetViT.
+
+    The reference instantiates ALL THREE attention options per layer in a
+    ModuleDict (jet_vit.py:270-277) even though only ``attn_layers[i]`` is
+    ever selected; the flax model only creates the selected option(s), so
+    unselected options' weights are dropped here.  ``attn_layers`` entries
+    are 'FA' | 'WA' | 'LA' or tuples thereof (default all-'FA', matching the
+    reference default jet_vit.py:262-263)."""
+    import re as _re
+
+    if depth is None:
+        layer_idx = [
+            int(m.group(1))
+            for k in state_dict
+            for m in [_re.match(r"transformer\.layers\.(\d+)\.", k)]
+            if m
+        ]
+        depth = max(layer_idx) + 1
+    if attn_layers is None:
+        attn_layers = ["FA"] * depth
+
+    keep = {}
+    for i in range(depth):
+        spec = attn_layers[i]
+        keep[i] = set(spec if isinstance(spec, (tuple, list)) else (spec,))
+
+    sd = {}
+    for k, v in state_dict.items():
+        m = _re.match(r"transformer\.layers\.(\d+)\.0\.options\.(FA|WA|LA)\.", k)
+        if m and m.group(2) not in keep[int(m.group(1))]:
+            continue
+        sd[k] = v
+
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += [("pos_embedding", "pos_embedding", identity)]
+
+    fa = r"transformer\.layers\.(\d+)\.0\.options\.FA"
+    rules += _ln(rf"{fa}\.norm", r"layers_\1_fa/norm")
+    rules += [(rf"{fa}\.to_qkv\.weight", r"layers_\1_fa/to_qkv/kernel", linear_w)]
+    rules += _linear(rf"{fa}\.to_out\.0", r"layers_\1_fa/to_out")
+
+    wa = r"transformer\.layers\.(\d+)\.0\.options\.WA"
+    rules += _ln(rf"{wa}\.norm", r"layers_\1_wa/norm")
+    rules += [
+        (rf"{wa}\.to_qkv\.weight", r"layers_\1_wa/to_qkv/kernel", linear_w),
+        (rf"{wa}\.to_out\.0\.weight", r"layers_\1_wa/to_out/kernel", linear_w),
+        (rf"{wa}\.rel_pos_bias\.weight", r"layers_\1_wa/rel_pos_bias", identity),
+    ]
+
+    la = r"transformer\.layers\.(\d+)\.0\.options\.LA"
+    rules += _ln(rf"{la}\.norm", r"layers_\1_la/norm")
+    rules += [(rf"{la}\.to_qkv\.weight", r"layers_\1_la/to_qkv/kernel", linear_w)]
+    rules += _linear(rf"{la}\.dynamic_conv\.mlp\.0", r"layers_\1_la/dynamic_conv/mlp_fc1")
+    rules += _linear(rf"{la}\.dynamic_conv\.mlp\.2", r"layers_\1_la/dynamic_conv/mlp_fc2")
+    rules += _linear(rf"{la}\.to_out\.0", r"layers_\1_la/to_out")
+
+    rules += _ln(r"transformer\.layers\.(\d+)\.1\.net\.0", r"layers_\1_ff/norm")
+    rules += _linear(r"transformer\.layers\.(\d+)\.1\.net\.1", r"layers_\1_ff/fc1")
+    rules += _linear(r"transformer\.layers\.(\d+)\.1\.net\.4", r"layers_\1_ff/fc2")
+
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(sd, rules)
+
+
+def convert_local_vit(state_dict) -> dict:
+    """reference local_vit.py:114-150 → models/local_vit.py LocalViT.
+
+    Attention sits behind a Residual wrapper (layers.N.0.fn.*) and the conv
+    FFN behind ExcludeCLS(Residual(...)) (layers.N.1.fn.fn.net.*,
+    local_vit.py:97-105).  DepthWiseConv2d is a Sequential of a grouped 3x3
+    and a 1x1 conv (local_vit.py:31-39)."""
+    rules: list[Rule] = []
+    rules += patch_embed_rules()
+    rules += [
+        ("cls_token", "cls_token", identity),
+        ("pos_embedding", "pos_embedding", identity),
+    ]
+    a = r"transformer\.layers\.(\d+)\.0\.fn"
+    da = r"layers_\1_attn"
+    rules += _ln(rf"{a}\.norm", rf"{da}/norm")
+    rules += [(rf"{a}\.to_qkv\.weight", rf"{da}/to_qkv/kernel", linear_w)]
+    rules += _linear(rf"{a}\.to_out\.0", rf"{da}/to_out")
+    f = r"transformer\.layers\.(\d+)\.1\.fn\.fn\.net"
+    df = r"layers_\1_ff"
+    rules += _ln(rf"{f}\.0", rf"{df}/norm")
+    rules += [
+        (rf"{f}\.1\.weight", rf"{df}/conv_in/kernel", conv2d_w),
+        (rf"{f}\.1\.bias", rf"{df}/conv_in/bias", identity),
+        (rf"{f}\.3\.net\.0\.weight", rf"{df}/depthwise/kernel", conv2d_w),
+        (rf"{f}\.3\.net\.0\.bias", rf"{df}/depthwise/bias", identity),
+        (rf"{f}\.3\.net\.1\.weight", rf"{df}/pointwise/kernel", conv2d_w),
+        (rf"{f}\.3\.net\.1\.bias", rf"{df}/pointwise/bias", identity),
+        (rf"{f}\.6\.weight", rf"{df}/conv_out/kernel", conv2d_w),
+        (rf"{f}\.6\.bias", rf"{df}/conv_out/bias", identity),
+    ]
+    rules += _ln(r"mlp_head\.0", "head_norm")
+    rules += _linear(r"mlp_head\.1", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_na_vit_nested_tensor(state_dict) -> dict:
     """reference na_vit_nested_tensor.py:134-301 →
     models/na_vit_nested_tensor.py NaViT params (split q/k/v, LayerNorm
@@ -818,6 +1006,35 @@ def convert_cct(state_dict, *, sine_pos: bool = False) -> dict:
     positional parameter (cct.py:248) — our model builds it at trace time."""
     rules: list[Rule] = [
         (r"tokenizer\.conv_layers\.(\d+)\.0\.weight", r"tokenizer/conv_\1/kernel", conv2d_w),
+        (r"tokenizer\.conv_layers\.(\d+)\.0\.bias", r"tokenizer/conv_\1/bias", identity),
+        (
+            r"classifier\.positional_emb",
+            "<drop>" if sine_pos else "classifier/positional_emb",
+            identity,
+        ),
+        (r"classifier\.class_emb", "classifier/class_emb", identity),
+    ]
+    blk = r"classifier\.blocks\.(\d+)"
+    dst = r"classifier/blocks_\1"
+    rules += _ln(rf"{blk}\.pre_norm", rf"{dst}/pre_norm")
+    rules += [
+        (rf"{blk}\.self_attn\.qkv\.weight", rf"{dst}/self_attn/qkv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{blk}\.self_attn\.proj", rf"{dst}/self_attn/proj")
+    rules += _ln(rf"{blk}\.norm1", rf"{dst}/norm1")
+    rules += _linear(rf"{blk}\.linear1", rf"{dst}/linear1")
+    rules += _linear(rf"{blk}\.linear2", rf"{dst}/linear2")
+    rules += _ln(r"classifier\.norm", "classifier/norm")
+    rules += _linear(r"classifier\.attention_pool", "classifier/attention_pool")
+    rules += _linear(r"classifier\.fc", "classifier/fc")
+    return apply_rules(state_dict, rules)
+
+
+def convert_cct_3d(state_dict, *, sine_pos: bool = False) -> dict:
+    """reference cct_3d.py:325-388 → models/cct_3d.py CCT (Conv3d tokenizer;
+    classifier identical to the 2-D CCT, cct_3d.py:228-323)."""
+    rules: list[Rule] = [
+        (r"tokenizer\.conv_layers\.(\d+)\.0\.weight", r"tokenizer/conv_\1/kernel", conv3d_w),
         (r"tokenizer\.conv_layers\.(\d+)\.0\.bias", r"tokenizer/conv_\1/bias", identity),
         (
             r"classifier\.positional_emb",
