@@ -25,13 +25,18 @@ def sigreg_loss(
     num_slices: int = 1024,
     domain: Tuple[float, float] = (-5.0, 5.0),
     num_knots: int = 17,
+    projs: jnp.ndarray = None,
 ):
-    """reference lejepa.py:42-77 (real-valued CF computation)."""
+    """reference lejepa.py:42-77 (real-valued CF computation).
+
+    ``projs``: optional pre-normalized (num_slices, dim) slice directions
+    overriding the random draw (deterministic parity testing)."""
     dim = x.shape[-1]
-    projs = jax.random.normal(rng, (num_slices, dim))
-    projs = projs / jnp.maximum(
-        jnp.linalg.norm(projs, axis=-1, keepdims=True), 1e-6
-    )
+    if projs is None:
+        projs = jax.random.normal(rng, (num_slices, dim))
+        projs = projs / jnp.maximum(
+            jnp.linalg.norm(projs, axis=-1, keepdims=True), 1e-6
+        )
 
     t = jnp.linspace(domain[0], domain[1], num_knots)
     exp_f = jnp.exp(-0.5 * jnp.square(t))

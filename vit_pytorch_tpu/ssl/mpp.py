@@ -89,7 +89,10 @@ class MPP(nn.Module):
         ce = -jnp.take_along_axis(logprobs, target_label[..., None], axis=-1)[..., 0]
         return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1)
 
-    def __call__(self, img, *, train: bool = False):
+    def __call__(self, img, *, train: bool = False, masked_positions=None):
+        """``masked_positions``: optional (b, n) bool mask overriding the
+        random draw — deterministic parity testing (same pattern as MP3's
+        injected ``rand_indices``)."""
         p = self.patch_size
         enc = self.transformer
 
@@ -99,7 +102,10 @@ class MPP(nn.Module):
         rng = self.make_rng("mask")
         r_mask, r_rand, r_randidx, r_repl = jax.random.split(rng, 4)
 
-        mask = get_mask_subset_with_prob(r_mask, batch, n, self.mask_prob)
+        if masked_positions is not None:
+            mask = masked_positions
+        else:
+            mask = get_mask_subset_with_prob(r_mask, batch, n, self.mask_prob)
 
         masked_input = patches
         if self.random_patch_prob > 0:

@@ -480,6 +480,30 @@ def convert_mae(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_simmim(state_dict) -> dict:
+    """reference simmim.py:6-87 SimMIM(encoder=ViT, ...) → ssl/simmim.py.
+    ``to_patch``/``patch_to_emb`` re-register encoder submodules
+    (simmim.py:22-23) — duplicate tensors, dropped."""
+    rules: list[Rule] = []
+    rules += vit_rules(r"encoder\.", "encoder/")
+    rules += [(r"patch_to_emb\..*", "<drop>", identity)]
+    rules += [("mask_token", "mask_token", identity)]
+    rules += _linear("to_pixels", "to_pixels")
+    return apply_rules(state_dict, rules)
+
+
+def convert_mpp(state_dict) -> dict:
+    """reference mpp.py:79-175 MPP(transformer=ViT, ...) → ssl/mpp.py.
+    ``patch_to_emb`` re-registers transformer.to_patch_embedding[1:]
+    (mpp.py:100) — duplicates, dropped.  MPPLoss holds no parameters."""
+    rules: list[Rule] = []
+    rules += vit_rules(r"transformer\.", "transformer/")
+    rules += [(r"patch_to_emb\..*", "<drop>", identity)]
+    rules += [("mask_token", "mask_token", identity)]
+    rules += _linear("to_bits", "to_bits")
+    return apply_rules(state_dict, rules)
+
+
 def _fuse_qkv(state_dict: Mapping, only_prefix: str = "") -> dict:
     """NaViT keeps separate to_q / to_kv projections (na_vit.py:127-128); our
     self-attention uses one fused qkv GEMM (better MXU utilization).  Fuse the
