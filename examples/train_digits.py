@@ -1,0 +1,123 @@
+"""End-to-end training on REAL data: handwritten digits (sklearn's bundled
+UCI ``load_digits`` — 1,797 8x8 grayscale images, 10 classes, ships offline).
+
+The counterpart of the reference's examples/cats_and_dogs.ipynb (train a ViT
+on a small real dataset with Adam and report accuracy per epoch) with a
+dataset that needs no network.  Demonstrates the framework actually LEARNS:
+test accuracy goes from ~10% (chance) to >90% in under a minute.
+
+Run:  python examples/train_digits.py [--epochs 20]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def load_data(seed=0):
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    images = d.images.astype(np.float32) / 16.0  # pixels are 0..16
+    images = images[:, None, :, :]  # (n, 1, 8, 8)
+    labels = d.target.astype(np.int32)
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(images))
+    images, labels = images[order], labels[order]
+    n_test = len(images) // 5
+    return (
+        images[n_test:], labels[n_test:],
+        images[:n_test], labels[:n_test],
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    args = ap.parse_args()
+
+    from vit_pytorch_tpu import ViT
+
+    x_train, y_train, x_test, y_test = load_data()
+    print(f"train {len(x_train)} / test {len(x_test)} images (8x8 digits)")
+
+    model = ViT(
+        image_size=8,
+        patch_size=2,
+        num_classes=10,
+        dim=64,
+        depth=4,
+        heads=4,
+        dim_head=16,
+        mlp_dim=128,
+        channels=1,
+        dropout=0.1,
+        emb_dropout=0.1,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 1, 8, 8)))["params"]
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, imgs, labels, dropout_rng):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p}, imgs, train=True, rngs={"dropout": dropout_rng}
+            )
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def accuracy(params, imgs, labels):
+        logits = model.apply({"params": params}, imgs)
+        return jnp.mean(jnp.argmax(logits, -1) == labels)
+
+    bs = args.batch_size
+    steps = len(x_train) // bs
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        key, perm_key = jax.random.split(key)
+        order = np.asarray(
+            jax.random.permutation(perm_key, len(x_train))
+        )
+        losses = []
+        for s in range(steps):
+            idx = order[s * bs : (s + 1) * bs]
+            key, dk = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(x_train[idx]),
+                jnp.asarray(y_train[idx]), dk,
+            )
+            losses.append(float(loss))
+        acc = float(accuracy(params, jnp.asarray(x_test), jnp.asarray(y_test)))
+        print(
+            f"epoch {epoch + 1:2d}  loss {np.mean(losses):.4f}  "
+            f"test acc {acc * 100:5.1f}%  ({time.time() - t0:.1f}s)"
+        )
+
+    assert acc > 0.5, "model failed to learn"
+    print(f"final test accuracy: {acc * 100:.1f}% (chance = 10%)")
+
+
+if __name__ == "__main__":
+    main()

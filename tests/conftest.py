@@ -25,6 +25,14 @@ import jax
 # parity vs torch fp32 needs true fp32 accumulation
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compilation cache: the suite is compile-bound on this 1-CPU box
+# (every test builds full models); repeat runs hit the cache and drop from
+# ~25 min to minutes.  Keyed by HLO hash — correctness is unaffected.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 # the axon TPU tunnel plugin ignores JAX_PLATFORMS=cpu; pin the default
 # device to host CPU so tests don't pay 5-40 ms tunnel latency per dispatch
 try:
