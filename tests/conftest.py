@@ -26,11 +26,13 @@ import jax
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent compilation cache: the suite is compile-bound on this 1-CPU box
-# (every test builds full models); repeat runs hit the cache and drop from
-# ~25 min to minutes.  Keyed by HLO hash — correctness is unaffected.
+# — eager ``Module.init`` dispatches hundreds of tiny per-op CPU compiles
+# (~0.1 s each) per test.  Caching EVERY compile (min time 0) makes warm
+# runs ~5x faster, and ops shared between tests hit even on the first run.
+# Keyed by HLO hash — correctness is unaffected.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 # the axon TPU tunnel plugin ignores JAX_PLATFORMS=cpu; pin the default

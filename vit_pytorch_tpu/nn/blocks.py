@@ -436,8 +436,30 @@ class Transformer(nn.Module):
         def ff_call(mdl, h):
             return mdl(h, train=train)
 
+        # predict whether Attention will take the fused-block kernel path
+        # (mirrors the eligibility gate in Attention.__call__): its
+        # custom_vjp saves only the layer input, so wrapping it in remat
+        # would just replay the kernel forward for nothing
+        attn_will_fuse = (
+            not self.qk_norm
+            and not exists(rotary)
+            and mask is None
+            and bias is None
+            and q_segment_ids is None
+            and kv_segment_ids is None
+            and not self.is_mutable_collection("intermediates")
+            and (self.dropout == 0.0 or not train)
+            and not (self.heads == 1 and self.dim_head == self.dim)
+            and x.ndim == 3
+            and fused_block_supported(
+                x.shape, x.dtype, self.heads, self.dim_head, self.dim
+            )
+            and on_tpu()
+        )
+
         if self.remat:
-            attn_call = nn.remat(attn_call)
+            if not attn_will_fuse:
+                attn_call = nn.remat(attn_call)
             ff_call = nn.remat(ff_call)
 
         hiddens = []

@@ -13,9 +13,12 @@ Grid is over the batch; the qkv/out weights stay resident in VMEM across
 grid steps.  Softmax and LayerNorm statistics are computed in fp32; GEMMs
 accumulate fp32 on the MXU (bf16 operands).
 
-Backward: ``jax.custom_vjp`` falling back to the XLA composite — inference
-serving gets the fused kernel, training gets XLA's autodiff graph (which
-re-fuses well in the backward direction and supports remat).
+Backward: ``jax.custom_vjp`` with a second Pallas kernel (``_bwd_kernel``)
+that recomputes the forward in VMEM (flash-style — the logits matrix never
+touches HBM in either direction) and emits dx plus the per-step tensors the
+wrapper contracts into dW_qkv/dW_out with two large XLA GEMMs over the
+whole batch.  Only the layer input ``x`` is saved between passes, so the
+attention block needs no rematerialization at big batch sizes.
 
 No reference counterpart: the reference reaches flash attention only through
 ``F.scaled_dot_product_attention`` (simple_flash_attn_vit.py:56-64) and
@@ -211,6 +214,199 @@ def _pallas_forward(
     )
 
 
+def _bwd_kernel(
+    x_ref,
+    g_ref,
+    wqkv_ref,
+    bqkv_ref,
+    wout_ref,
+    lns_ref,
+    lnb_ref,
+    dx_ref,
+    h_ref,
+    dqkv_ref,
+    m_ref,
+    dgamma_ref,
+    dbeta_ref,
+    *,
+    heads: int,
+    dim_head: int,
+    scale: float,
+    eps: float,
+    with_bqkv: bool,
+):
+    """Backward of the fused block, per batch element.
+
+    Recomputes the forward in VMEM (LN, qkv, per-head softmax — the logits
+    never touch HBM in either direction), emits dx plus the per-step
+    tensors (h, dqkv, m, dm) that the wrapper contracts into dW_qkv / dW_out
+    with two large XLA GEMMs over the whole batch (M=dim, K=b·n — far more
+    MXU-efficient than accumulating rank-n updates per step, and the f32
+    dW accumulators would not fit VMEM next to the weights)."""
+    i = pl.program_id(0)
+    x = x_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+
+    # --- recompute forward (same dtype path as _kernel) ---
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    xhat = xc * r
+    gamma = lns_ref[0].astype(jnp.float32)
+    h = xhat * gamma + lnb_ref[0].astype(jnp.float32)
+    h = h.astype(x.dtype)
+    h_ref[0] = h
+
+    qkv_f32 = jnp.dot(h, wqkv_ref[...], preferred_element_type=jnp.float32)
+    if with_bqkv:
+        qkv_f32 = qkv_f32 + bqkv_ref[0].astype(jnp.float32)
+    qkv = qkv_f32.astype(x.dtype)
+
+    inner = heads * dim_head
+    # dm = g @ Wout^T
+    dm = jax.lax.dot_general(
+        g.astype(x.dtype),
+        wout_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dqs, dks, dvs, outs = [], [], [], []
+    for hh in range(heads):
+        q = qkv[:, hh * dim_head : (hh + 1) * dim_head]
+        k = qkv[:, inner + hh * dim_head : inner + (hh + 1) * dim_head]
+        v = qkv[:, 2 * inner + hh * dim_head : 2 * inner + (hh + 1) * dim_head]
+        logits = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pb = p.astype(x.dtype)
+
+        outs.append(jnp.dot(pb, v, preferred_element_type=jnp.float32).astype(x.dtype))
+
+        dm_h = dm[:, hh * dim_head : (hh + 1) * dim_head].astype(x.dtype)
+        # dv = p^T @ dm_h
+        dv = jax.lax.dot_general(
+            pb, dm_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dp = dm_h @ v^T
+        dp = jax.lax.dot_general(
+            dm_h, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds.astype(x.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        # dk = ds^T @ q
+        dk = (
+            jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+
+    m_ref[0] = jnp.concatenate(outs, axis=-1)
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (n, 3*inner) f32
+    dqkv_ref[0] = dqkv.astype(x.dtype)
+
+    # dh = dqkv @ Wqkv^T
+    dh = jax.lax.dot_general(
+        dqkv.astype(x.dtype),
+        wqkv_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # LN grads (accumulated across the sequential grid)
+    @pl.when(i == 0)
+    def _init():
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
+        dbeta_ref[...] = jnp.zeros_like(dbeta_ref)
+
+    dgamma_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dbeta_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+
+    dxhat = dh * gamma
+    dx = r * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    dx_ref[0] = dx.astype(x.dtype)
+
+
+def _pallas_backward(
+    x, g, w_qkv, b_qkv, w_out, ln_scale, ln_bias, *, heads, dim_head, scale, eps, interpret=False
+):
+    b, n, dim = x.shape
+    inner = heads * dim_head
+    with_bqkv = b_qkv is not None
+    bqkv_arr = (b_qkv if with_bqkv else jnp.zeros((3 * inner,), x.dtype)).reshape(1, -1)
+
+    kern = functools.partial(
+        _bwd_kernel,
+        heads=heads,
+        dim_head=dim_head,
+        scale=scale,
+        eps=eps,
+        with_bqkv=with_bqkv,
+    )
+    dx, h, dqkv, m, dgamma, dbeta = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, dim), x.dtype),       # dx (LN path)
+            jax.ShapeDtypeStruct((b, n, dim), x.dtype),       # h
+            jax.ShapeDtypeStruct((b, n, 3 * inner), x.dtype), # dqkv
+            jax.ShapeDtypeStruct((b, n, inner), x.dtype),     # m
+            jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dgamma
+            jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dbeta
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((dim, 3 * inner), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * inner), lambda i: (0, 0)),
+            pl.BlockSpec((inner, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, 3 * inner), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, inner), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+        ),
+        interpret=interpret,
+    )(x, g, w_qkv, bqkv_arr, w_out, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1))
+
+    # weight grads as two large XLA GEMMs over the flattened batch
+    hf = h.reshape(b * n, dim)
+    dqkvf = dqkv.reshape(b * n, 3 * inner)
+    dW_qkv = jax.lax.dot_general(
+        hf, dqkvf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # out = m @ W_out  =>  dW_out = m^T @ g
+    mf = m.reshape(b * n, inner)
+    gf = g.reshape(b * n, dim).astype(mf.dtype)
+    dW_out = jax.lax.dot_general(
+        mf, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db_qkv = jnp.sum(dqkvf.astype(jnp.float32), axis=0) if with_bqkv else None
+    return dx, dW_qkv, db_qkv, dW_out, dgamma[0], dbeta[0]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _fused(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, heads, dim_head, scale, eps, interpret):
     return _pallas_forward(
@@ -230,14 +426,36 @@ def _fused_fwd(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, heads
 def _fused_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
     x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias = residuals
 
-    def f(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias):
-        return _xla_reference(
-            x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
-            heads=heads, dim_head=dim_head, scale=scale, eps=eps,
-        )
-
-    _, vjp = jax.vjp(f, x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias)
-    return vjp(g)
+    dx, dW_qkv, db_qkv, dW_out, dgamma, dbeta = _pallas_backward(
+        x,
+        g,
+        w_qkv,
+        b_qkv,
+        w_out,
+        ln_scale,
+        ln_bias,
+        heads=heads,
+        dim_head=dim_head,
+        scale=scale,
+        eps=eps,
+        interpret=interpret,
+    )
+    d_residual = g
+    db_out = (
+        jnp.sum(g.astype(jnp.float32), axis=(0, 1)).astype(b_out.dtype)
+        if b_out is not None
+        else None
+    )
+    return (
+        dx,
+        d_residual,
+        dW_qkv.astype(w_qkv.dtype),
+        db_qkv.astype(b_qkv.dtype) if b_qkv is not None else None,
+        dW_out.astype(w_out.dtype),
+        db_out,
+        dgamma.astype(ln_scale.dtype),
+        dbeta.astype(ln_bias.dtype),
+    )
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
