@@ -104,3 +104,51 @@ def test_optimizer_moments_follow_param_specs():
     assert some_tp_spec_seen  # the model must actually exercise TP rules
     # scalar count stays replicated
     assert adam_state.count.sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_fsdp_matches_single_device():
+    """FSDP (ZeRO-3) param+moment sharding over 'data' gives the same values
+    as single-device training; weights actually carry 'data' in their specs."""
+    import optax
+    from flax.traverse_util import flatten_dict
+    from vit_pytorch_tpu.models.vit import ViT
+    from vit_pytorch_tpu.parallel.mesh import make_mesh
+    from vit_pytorch_tpu.parallel.train import (
+        create_train_state, make_train_step, make_sharded_train_step,
+        shard_train_state,
+    )
+
+    model = ViT(image_size=32, patch_size=8, num_classes=5, dim=32, depth=2,
+                heads=2, dim_head=16, mlp_dim=64)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)), optax.adam(1e-3)
+    )
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 32, 32))
+    labels = jnp.arange(8) % 5
+    rng = jax.random.PRNGKey(2)
+
+    step = make_train_step(model, donate=False)
+    s_single, m_single = step(state, imgs, labels, rng)
+
+    mesh = make_mesh(data=4, model=2, devices=jax.devices("cpu"))
+    sharded = shard_train_state(state, mesh, fsdp=True, fsdp_min_size=512)
+
+    # at least one big param must be sharded on 'data'
+    flat = flatten_dict(sharded.params)
+    assert any(
+        "data" in jax.tree.leaves([leaf.sharding.spec])
+        or any(ax == "data" for ax in leaf.sharding.spec)
+        for leaf in flat.values()
+    )
+    # Adam moments follow the FSDP specs
+    mu_flat = flatten_dict(sharded.opt_state[0].mu)
+    for key, leaf in mu_flat.items():
+        assert leaf.sharding.spec == flat[key].sharding.spec
+
+    sharded_step = make_sharded_train_step(model, mesh, donate=False)
+    s_shard, m_shard = sharded_step(sharded, imgs, labels, rng)
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_shard["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)

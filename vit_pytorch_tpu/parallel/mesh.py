@@ -106,6 +106,41 @@ def infer_param_shardings(params, mesh: Mesh):
     return unflatten_dict(specs)
 
 
+def infer_param_shardings_fsdp(
+    params, mesh: Mesh, *, min_size: int = 2**14
+):
+    """FSDP / ZeRO-3 layout: on top of the TP specs, shard each parameter's
+    first still-unsharded divisible dimension over the 'data' axis.  XLA
+    SPMD inserts the all-gathers before use and reduce-scatters the grads —
+    the TPU-native formulation of FSDP (weights live sharded in HBM, ride
+    ICI on demand).  Parameters smaller than ``min_size`` elements stay
+    replicated (gather latency would dominate)."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    data_size = mesh.shape["data"]
+    flat = flatten_dict(params)
+    specs = {}
+    for key, value in flat.items():
+        path = "/".join(str(k) for k in key)
+        tp_spec = param_partition_spec(path)
+        # guard TP spec divisibility (same rule as infer_param_shardings)
+        ok = True
+        for dim, axis in zip(value.shape, tp_spec):
+            if axis is not None and dim % mesh.shape[axis] != 0:
+                ok = False
+        if not ok or len(tp_spec) > value.ndim:
+            tp_spec = P()
+
+        axes = list(tp_spec) + [None] * (value.ndim - len(tp_spec))
+        if value.size >= min_size:
+            for d in range(value.ndim):
+                if axes[d] is None and value.shape[d] % data_size == 0:
+                    axes[d] = "data"
+                    break
+        specs[key] = NamedSharding(mesh, P(*axes))
+    return unflatten_dict(specs)
+
+
 def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("data"))
 

@@ -86,16 +86,29 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def shard_train_state(state: TrainState, mesh) -> TrainState:
+def shard_train_state(
+    state: TrainState, mesh, *, fsdp: bool = False, fsdp_min_size: int = 2**14
+) -> TrainState:
     """Lay out params (TP specs where they divide; replicated otherwise) and
     optimizer state across the mesh.
 
+    ``fsdp=True`` additionally shards each parameter over the 'data' axis
+    (ZeRO-3: weights + Adam moments live sharded in HBM; XLA all-gathers
+    them on use and reduce-scatters grads over ICI).
+
     Optimizer moments (e.g. Adam mu/nu) are param-shaped pytrees inside the
-    optax state — they follow the param PartitionSpecs, so TP actually saves
-    optimizer memory instead of replicating 2x param bytes per chip.  Scalars
-    (step counts, schedules) are replicated.
+    optax state — they follow the param PartitionSpecs, so TP/FSDP actually
+    save optimizer memory instead of replicating 2x param bytes per chip.
+    Scalars (step counts, schedules) are replicated.
     """
-    param_sh = infer_param_shardings(state.params, mesh)
+    from .mesh import infer_param_shardings_fsdp
+
+    if fsdp:
+        param_sh = infer_param_shardings_fsdp(
+            state.params, mesh, min_size=fsdp_min_size
+        )
+    else:
+        param_sh = infer_param_shardings(state.params, mesh)
     params = jax.device_put(state.params, param_sh)
 
     param_struct = jax.tree.structure(state.params)
