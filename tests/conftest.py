@@ -52,14 +52,19 @@ def _stub_torchvision():
     import types
 
     if "torchvision" not in sys.modules:
+        import torch as _torch
+
         tv = types.ModuleType("torchvision")
         transforms = types.ModuleType("torchvision.transforms")
 
-        class _Any:
-            def __init__(self, *a, **k):
-                pass
+        class _Any(_torch.nn.Module):
+            """Identity stand-in.  Subclasses nn.Module so the reference can
+            compose it in nn.Sequential (dino.py:207-229)."""
 
-            def __call__(self, x):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+            def forward(self, x):
                 return x
 
         for name in (

@@ -186,3 +186,57 @@ def test_lejepa_sigreg_loss_parity(reference, torch):
         )
     )
     np.testing.assert_allclose(got, expected, atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.parity
+def test_dino_full_forward_parity(reference, torch):
+    """Full Dino wrapper parity with injected identity views: under the
+    torchvision stub the reference's augment/crop fns are identity, so the
+    whole forward (hidden-layer hook -> projector MLP -> symmetric tempered
+    CE + center update) is deterministic given converted weights."""
+    from vit_pytorch.vit import ViT as RefViT
+    from vit_pytorch.dino import Dino as RefDino
+    from vit_pytorch_tpu.models.vit import ViT
+    from vit_pytorch_tpu.ssl.dino import Dino, dino_forward
+    from vit_pytorch_tpu.utils.convert import convert_dino
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    dkw = dict(image_size=32, projection_hidden_size=32, num_classes_K=64,
+               projection_layers=2, student_temp=0.9, teacher_temp=0.04)
+
+    ref = RefDino(net=RefViT(**kw), hidden_layer="transformer", **dkw).eval()
+    # make the teacher non-trivially different from the student so the test
+    # distinguishes the two encode paths
+    with torch.no_grad():
+        ref(torch.randn(2, 3, 32, 32))  # instantiates teacher (deepcopy)
+        for p in ref.teacher_encoder.parameters():
+            p.add_(0.01)
+        ref.teacher_centers.add_(0.1)
+        ref.last_teacher_centers.zero_()
+
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = float(ref(x))
+        expected_last = ref.last_teacher_centers.numpy()
+
+    model = Dino(net=ViT(**kw), hidden_layer="transformer", **dkw)
+    params = convert_dino(ref.state_dict(), projection_layers=2)
+    state = model.create_state(params)
+    teacher_params = jax.tree.map(lambda t: t + 0.01, state.teacher_params)
+    state = state.replace(
+        teacher_params=teacher_params,
+        teacher_centers=state.teacher_centers + 0.1,
+    )
+
+    xj = jnp.asarray(x.numpy())
+    loss, new_last = dino_forward(
+        model, params, state, xj, views=(xj, xj, xj, xj)
+    )
+    np.testing.assert_allclose(float(loss), expected, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_last).reshape(-1),
+        expected_last.reshape(-1),
+        atol=2e-5,
+        rtol=1e-4,
+    )

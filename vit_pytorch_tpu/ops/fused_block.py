@@ -239,7 +239,7 @@ def _bwd_kernel(
 
     Recomputes the forward in VMEM (LN, qkv, per-head softmax — the logits
     never touch HBM in either direction), emits dx plus the per-step
-    tensors (h, dqkv, m, dm) that the wrapper contracts into dW_qkv / dW_out
+    tensors (h, dqkv, m) that the wrapper contracts into dW_qkv / dW_out
     with two large XLA GEMMs over the whole batch (M=dim, K=b·n — far more
     MXU-efficient than accumulating rank-n updates per step, and the f32
     dW accumulators would not fit VMEM next to the weights)."""

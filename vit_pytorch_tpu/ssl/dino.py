@@ -226,12 +226,17 @@ def dino_forward(
     params,
     state: DinoState,
     x,
-    rng: jax.Array,
+    rng: Optional[jax.Array] = None,
     student_temp: Optional[float] = None,
     teacher_temp: Optional[float] = None,
+    views=None,
 ):
     """One Dino training forward (reference dino.py:268-303), fully
     functional: returns (loss, new_last_teacher_centers).
+
+    ``views``: optional (local_one, local_two, global_one, global_two)
+    tuple overriding the augmentation pipeline (deterministic parity
+    testing — the reference's augmentations are torchvision-side).
 
         (loss, new_last), grads = jax.value_and_grad(
             lambda p: dino_forward(dino, p, state, x, rng), has_aux=True
@@ -240,9 +245,10 @@ def dino_forward(
         ...optimizer step...
         state = dino.update_moving_average(params, state)
     """
-    views = dino.apply(
-        params, x, method=Dino.make_views, rngs={"augment": rng}
-    )
+    if views is None:
+        views = dino.apply(
+            params, x, method=Dino.make_views, rngs={"augment": rng}
+        )
     local_one, local_two, global_one, global_two = views
 
     student_proj_one, _ = dino.apply(params, local_one)

@@ -492,6 +492,40 @@ def convert_simmim(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_dino(state_dict, projection_layers: int = 4) -> dict:
+    """reference dino.py:184-303 Dino(net=ViT, ...) → ssl/dino.py Dino params.
+
+    Only the student side carries trainable params on our side — the teacher
+    is explicit ``DinoState`` created via ``Dino.create_state`` (a copy of
+    the student, matching the reference's deepcopy-on-first-forward,
+    dino.py:251-255) — so ``teacher_encoder.*`` and the center buffers are
+    dropped.  Projector Sequential layout (dino.py:92-114): Linear/GELU
+    pairs, L2Norm, final Linear."""
+    L = projection_layers
+    rules: list[Rule] = []
+    # flax shares the wrapped net between Dino and NetWrapper — its params
+    # live at the top-level 'net' scope (see ssl/dino.py Dino.net)
+    rules += vit_rules(r"student_encoder\.net\.", "net/")
+    for i in range(L - 1):
+        rules += _linear(
+            rf"student_encoder\.projector\.net\.{2 * i}",
+            f"student_encoder/projector/fc{i}",
+        )
+    rules += _linear(
+        rf"student_encoder\.projector\.net\.{2 * L - 1}",
+        "student_encoder/projector/out",
+    )
+    rules += [
+        # the raw net is registered twice (Dino.net AND student_encoder.net,
+        # same tensors) — keep the student_encoder copy
+        (r"net\..*", "<drop>", identity),
+        (r"teacher_encoder\..*", "<drop>", identity),
+        (r"teacher_centers", "<drop>", identity),
+        (r"last_teacher_centers", "<drop>", identity),
+    ]
+    return apply_rules(state_dict, rules)
+
+
 def convert_mpp(state_dict) -> dict:
     """reference mpp.py:79-175 MPP(transformer=ViT, ...) → ssl/mpp.py.
     ``patch_to_emb`` re-registers transformer.to_patch_embedding[1:]
