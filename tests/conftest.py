@@ -83,12 +83,48 @@ def _stub_torchvision():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = transforms
     if "torchaudio" not in sys.modules:
+        import torch as _torch
+
         ta = types.ModuleType("torchaudio")
         tat = types.ModuleType("torchaudio.transforms")
 
-        class Spectrogram:
-            def __init__(self, *a, **k):
-                pass
+        class Spectrogram(_torch.nn.Module):
+            """Functional stand-in implementing torchaudio.transforms.
+            Spectrogram semantics on top of core ``torch.stft`` (the real
+            torchaudio class is a thin wrapper over it) — lets the reference
+            AST run end-to-end for parity tests (vaat.py:249-255)."""
+
+            def __init__(self, n_fft=400, win_length=None, hop_length=None,
+                         pad=0, power=2.0, center=True, pad_mode="reflect",
+                         **_k):
+                super().__init__()
+                self.n_fft = n_fft
+                self.win_length = win_length if win_length is not None else n_fft
+                self.hop_length = (
+                    hop_length if hop_length is not None else self.win_length // 2
+                )
+                self.pad = pad
+                self.power = power
+                self.center = center
+                self.pad_mode = pad_mode
+
+            def forward(self, waveform):
+                x = waveform
+                if self.pad > 0:
+                    x = _torch.nn.functional.pad(x, (self.pad, self.pad))
+                spec = _torch.stft(
+                    x,
+                    n_fft=self.n_fft,
+                    hop_length=self.hop_length,
+                    win_length=self.win_length,
+                    window=_torch.hann_window(self.win_length, device=x.device),
+                    center=self.center,
+                    pad_mode=self.pad_mode,
+                    normalized=False,
+                    onesided=True,
+                    return_complex=True,
+                )
+                return spec.abs().pow(self.power)
 
         tat.Spectrogram = Spectrogram
         ta.transforms = tat

@@ -240,3 +240,24 @@ def test_dino_full_forward_parity(reference, torch):
         atol=2e-5,
         rtol=1e-4,
     )
+
+
+@pytest.mark.parity
+def test_ast_forward_parity(reference, torch):
+    """Full AST parity incl. the raw-audio spectrogram front-end: the
+    conftest torchaudio stub implements Spectrogram on core torch.stft, so
+    the reference AST runs end-to-end (vaat.py:205-333)."""
+    from vit_pytorch.vaat import AST as RefAST
+    from vit_pytorch_tpu.ssl.vaat import AST
+    from vit_pytorch_tpu.utils.convert import convert_ast
+
+    kw = dict(dim=32, depth=2, mlp_dim=64, num_classes=7, patch_size=8,
+              dim_head=16, heads=2, spec_n_fft=32, spec_win_length=16,
+              num_register_tokens=2)
+    ref = RefAST(**kw).eval()
+    audio = torch.randn(2, 800)
+    with torch.no_grad():
+        expected = ref(audio).numpy()
+
+    got = AST(**kw).apply(convert_ast(ref.state_dict()), jnp.asarray(audio.numpy()))
+    np.testing.assert_allclose(np.asarray(got), expected, atol=5e-5, rtol=1e-3)

@@ -110,6 +110,9 @@ class AST(nn.Module):
                 name=f"layers_{i}_ff",
             )(x, train=train) + x
 
+        # the reference applies the transformer's trailing norm AND THEN
+        # final_norm — two LayerNorms in sequence (vaat.py:199 + :329)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
         normed = nn.LayerNorm(epsilon=LN_EPS, name="final_norm")(x)
 
         if return_hiddens:

@@ -2128,6 +2128,37 @@ def convert_vat_vit(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_ast(state_dict) -> dict:
+    """reference vaat.py:205-333 AST → ssl/vaat.py AST (gated attention,
+    register tokens; transformer trailing norm + final_norm are BOTH
+    applied, vaat.py:199+329).  The Spectrogram front-end has no params."""
+    rules: list[Rule] = [
+        ("register_tokens", "register_tokens", identity),
+        (r"to_patch_tokens\.1\.weight", "patch_norm_pre/scale", identity),
+        (r"to_patch_tokens\.1\.bias", "patch_norm_pre/bias", identity),
+        (r"to_patch_tokens\.2\.weight", "patch_proj/kernel", linear_w),
+        (r"to_patch_tokens\.2\.bias", "patch_proj/bias", identity),
+        (r"to_patch_tokens\.3\.weight", "patch_norm_post/scale", identity),
+        (r"to_patch_tokens\.3\.bias", "patch_norm_post/bias", identity),
+    ]
+    a = r"transformer\.layers\.(\d+)\.0"
+    rules += _ln(rf"{a}\.norm", r"layers_\1_attn/norm")
+    rules += [
+        (rf"{a}\.to_q\.weight", r"layers_\1_attn/to_q/kernel", linear_w),
+        (rf"{a}\.to_kv\.weight", r"layers_\1_attn/to_kv/kernel", linear_w),
+    ]
+    rules += _linear(rf"{a}\.to_out_gates\.0", r"layers_\1_attn/to_out_gates")
+    rules += _linear(rf"{a}\.to_out\.0", r"layers_\1_attn/to_out")
+    f = r"transformer\.layers\.(\d+)\.1\.net"
+    rules += _ln(rf"{f}\.0", r"layers_\1_ff/norm")
+    rules += _linear(rf"{f}\.1", r"layers_\1_ff/fc1")
+    rules += _linear(rf"{f}\.4", r"layers_\1_ff/fc2")
+    rules += _ln(r"transformer\.norm", "norm")
+    rules += _ln(r"final_norm", "final_norm")
+    rules += _linear("mlp_head", "mlp_head")
+    return apply_rules(state_dict, rules)
+
+
 def convert_adapter(state_dict) -> dict:
     """reference learnable_memory_vit.py:168-242 Adapter → models/
     learnable_memory_vit.py Adapter (frozen ViT + learned memory tokens per
