@@ -261,3 +261,142 @@ def test_ast_forward_parity(reference, torch):
 
     got = AST(**kw).apply(convert_ast(ref.state_dict()), jnp.asarray(audio.numpy()))
     np.testing.assert_allclose(np.asarray(got), expected, atol=5e-5, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_lejepa_full_forward_parity(reference, torch):
+    """Full LeJEPA forward parity: aug2 scales the image by 0.9 (a real
+    torch Module, same scaling injected as jax views) so the MSE pairing is
+    non-trivial; the reference's sigreg slice directions are regenerated
+    from the same torch seed and injected."""
+    from vit_pytorch.vit import ViT as RefViT
+    from vit_pytorch.lejepa import LeJEPA as RefLeJEPA
+    from vit_pytorch_tpu.models.vit import ViT
+    from vit_pytorch_tpu.ssl.lejepa import LeJEPA, lejepa_forward
+    from vit_pytorch_tpu.utils.convert import convert_lejepa
+
+    class Scale(torch.nn.Module):
+        def forward(self, x):
+            return x * 0.9
+
+    class Identity(torch.nn.Module):
+        def forward(self, x):
+            return x
+
+    kw = dict(image_size=32, patch_size=8, num_classes=7, dim=32, depth=2,
+              heads=2, dim_head=16, mlp_dim=64)
+    lkw = dict(image_size=32, projection_hidden_size=32, num_classes_K=64,
+               projection_layers=2)
+    num_slices = 64
+
+    ref = RefLeJEPA(
+        RefViT(**kw), hidden_layer="transformer",
+        sigreg_loss_kwargs=dict(num_slices=num_slices, domain=(-5, 5), num_knots=17),
+        augment_fn=Identity(), augment_fn2=Scale(), **lkw,
+    ).eval()
+
+    x = torch.randn(2, 3, 32, 32)
+    torch.manual_seed(23)
+    with torch.no_grad():
+        expected = float(ref(x))
+
+    # regenerate the slice-direction draw (first RNG consumer, lejepa.py:54)
+    torch.manual_seed(23)
+    projs = torch.randn((num_slices, 64))
+    projs = projs / projs.norm(dim=-1, keepdim=True).clamp(min=1e-6)
+
+    model = LeJEPA(net=ViT(**kw), hidden_layer="transformer",
+                   sigreg_num_slices=num_slices, **lkw)
+    params = convert_lejepa(ref.state_dict(), projection_layers=2)
+
+    xj = jnp.asarray(x.numpy())
+    loss = lejepa_forward(
+        model, params, xj,
+        views=(xj, xj * 0.9, xj, xj * 0.9),
+        sigreg_projs=jnp.asarray(projs.numpy()),
+    )
+    np.testing.assert_allclose(float(loss), expected, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parity
+def test_esvit_full_forward_parity(reference, torch):
+    """Full EsViT trainer parity on a tiny CNN backbone (the reference
+    NetWrapper expects a spatial 'b c h w' hidden, es_vit.py:210-216):
+    identity views, teacher perturbed, view + region losses and both center
+    updates compared."""
+    import flax.linen as fnn
+    from vit_pytorch.es_vit import EsViTTrainer as RefTrainer
+    from vit_pytorch_tpu.ssl.es_vit import EsViTTrainer, esvit_forward
+    from vit_pytorch_tpu.utils.convert import conv2d_w, linear_w
+    from flax.traverse_util import unflatten_dict
+
+    tnet = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 16, 4, stride=4),
+        torch.nn.Tanh(),
+        torch.nn.Conv2d(16, 16, 2, stride=2),
+    )
+
+    class JaxCNN(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):  # (b, 3, H, W) NCHW like the torch net
+            x = x.transpose(0, 2, 3, 1)
+            x = fnn.Conv(16, (4, 4), strides=(4, 4), padding="VALID", name="c0")(x)
+            x = jnp.tanh(x)
+            x = fnn.Conv(16, (2, 2), strides=(2, 2), padding="VALID", name="c1")(x)
+            return x  # (b, h, w, 16) — wrapper flattens spatial axes
+
+    kw = dict(image_size=32, projection_hidden_size=32, num_classes_K=48,
+              projection_layers=2, student_temp=0.9, teacher_temp=0.04)
+    # hidden_layer=-1: use the net output itself (es_vit.py:193-194)
+    ref = RefTrainer(net=tnet, hidden_layer=-1, **kw).eval()
+    with torch.no_grad():
+        ref(torch.randn(2, 3, 32, 32))  # instantiate teacher
+        for p in ref.teacher_encoder.parameters():
+            p.add_(0.02)
+        ref.teacher_view_centers.add_(0.1)
+        ref.teacher_region_centers.add_(-0.1)
+        ref.last_teacher_view_centers.zero_()
+        ref.last_teacher_region_centers.zero_()
+
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        expected = float(ref(x))
+        exp_view = ref.last_teacher_view_centers.numpy()
+        exp_region = ref.last_teacher_region_centers.numpy()
+
+    # convert: CNN convs + view/region projector MLPs (num_layers=2:
+    # Sequential[Linear, GELU, L2Norm, Linear])
+    sd = ref.state_dict()
+    flat = {
+        ("net", "c0", "kernel"): conv2d_w(sd["net.0.weight"]),
+        ("net", "c0", "bias"): sd["net.0.bias"].numpy(),
+        ("net", "c1", "kernel"): conv2d_w(sd["net.2.weight"]),
+        ("net", "c1", "bias"): sd["net.2.bias"].numpy(),
+    }
+    for proj in ("view_projector", "region_projector"):
+        base = f"student_encoder.{proj}.net"
+        flat[("student_encoder", proj, "fc0", "kernel")] = linear_w(sd[f"{base}.0.weight"])
+        flat[("student_encoder", proj, "fc0", "bias")] = sd[f"{base}.0.bias"].numpy()
+        flat[("student_encoder", proj, "out", "kernel")] = linear_w(sd[f"{base}.3.weight"])
+        flat[("student_encoder", proj, "out", "bias")] = sd[f"{base}.3.bias"].numpy()
+    params = {"params": unflatten_dict({k: jnp.asarray(v) for k, v in flat.items()})}
+
+    model = EsViTTrainer(net=JaxCNN(), hidden_layer=-1, **kw)
+    state = model.create_state(params)
+    state = state.replace(
+        teacher_params=jax.tree.map(lambda t: t + 0.02, state.teacher_params),
+        teacher_view_centers=state.teacher_view_centers + 0.1,
+        teacher_region_centers=state.teacher_region_centers - 0.1,
+    )
+
+    xj = jnp.asarray(x.numpy())
+    (loss, (new_view, new_region)) = esvit_forward(
+        model, params, state, xj, views=(xj, xj, xj, xj)
+    )
+    np.testing.assert_allclose(float(loss), expected, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_view).reshape(-1), exp_view.reshape(-1), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_region).reshape(-1), exp_region.reshape(-1), atol=2e-5, rtol=1e-4
+    )

@@ -45,12 +45,18 @@ def dino_loss_fn(
 
 
 class MLP(nn.Module):
-    """Projector (reference dino.py:92-114): Linear/GELU chain → L2Norm over
-    features → final Linear."""
+    """Projector (reference dino.py:92-114): Linear/GELU chain → L2Norm →
+    final Linear.
+
+    ``l2norm_axis``: the reference's L2Norm always normalizes over dim=1
+    (dino.py:88-90) — the feature axis for 2-D inputs, but the REGION axis
+    for EsViT's 3-D region tensor (es_vit.py:214-218).  Default -1 covers
+    the 2-D case; EsViT's region projector passes 1."""
 
     dim_out: int
     num_layers: int
     hidden_size: int = 256
+    l2norm_axis: int = -1
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +64,7 @@ class MLP(nn.Module):
             x = nn.Dense(self.hidden_size, name=f"fc{i}")(x)
             x = _gelu(x)
         norm = jnp.maximum(
-            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6
+            jnp.linalg.norm(x, axis=self.l2norm_axis, keepdims=True), 1e-6
         )
         x = x / norm
         return nn.Dense(self.dim_out, name="out")(x)

@@ -105,6 +105,7 @@ class EsViTNetWrapper(nn.Module):
             dim_out=self.output_dim,
             num_layers=self.projection_num_layers,
             hidden_size=self.projection_hidden_size,
+            l2norm_axis=1,  # reference L2Norm uses dim=1 (region axis here)
             name="region_projector",
         )(region_latents)
         return view_proj, region_proj, region_latents
@@ -196,15 +197,20 @@ def esvit_forward(
     params,
     state: EsViTState,
     x,
-    rng: jax.Array,
+    rng: Optional[jax.Array] = None,
     student_temp: Optional[float] = None,
     teacher_temp: Optional[float] = None,
+    views=None,
 ):
     """One EsViT forward (reference es_vit.py:313-367): returns
-    (loss, (new_last_view_centers, new_last_region_centers))."""
-    views = trainer.apply(
-        params, x, method=EsViTTrainer.make_views, rngs={"augment": rng}
-    )
+    (loss, (new_last_view_centers, new_last_region_centers)).
+
+    ``views``: optional injected (local_one, local_two, global_one,
+    global_two) for deterministic parity testing."""
+    if views is None:
+        views = trainer.apply(
+            params, x, method=EsViTTrainer.make_views, rngs={"augment": rng}
+        )
     local_one, local_two, global_one, global_two = views
 
     s_view_1, s_region_1, s_latent_1 = trainer.apply(params, local_one)

@@ -102,12 +102,23 @@ class LeJEPA(nn.Module):
         )
 
 
-def lejepa_forward(learner: LeJEPA, params, x, rng: jax.Array):
-    """One LeJEPA forward (reference lejepa.py:250-282)."""
-    aug_rng, sig_rng = jax.random.split(rng)
-    views = learner.apply(
-        params, x, method=LeJEPA.make_views, rngs={"augment": aug_rng}
-    )
+def lejepa_forward(
+    learner: LeJEPA, params, x, rng: Optional[jax.Array] = None,
+    views=None, sigreg_projs=None,
+):
+    """One LeJEPA forward (reference lejepa.py:250-282).
+
+    ``views``/``sigreg_projs``: optional injected views and slice
+    directions (deterministic parity testing; the reference's augmentations
+    are torchvision-side and its slices are torch RNG)."""
+    if rng is not None:
+        aug_rng, sig_rng = jax.random.split(rng)
+    else:
+        aug_rng = sig_rng = None
+    if views is None:
+        views = learner.apply(
+            params, x, method=LeJEPA.make_views, rngs={"augment": aug_rng}
+        )
     local_one, local_two, global_one, global_two = views
 
     locals_cat = jnp.concatenate([local_one, local_two])
@@ -128,6 +139,7 @@ def lejepa_forward(learner: LeJEPA, params, x, rng: jax.Array):
         num_slices=learner.sigreg_num_slices,
         domain=learner.sigreg_domain,
         num_knots=learner.sigreg_num_knots,
+        projs=sigreg_projs,
     )
 
     return (

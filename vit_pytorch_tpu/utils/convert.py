@@ -526,6 +526,24 @@ def convert_dino(state_dict, projection_layers: int = 4) -> dict:
     return apply_rules(state_dict, rules)
 
 
+def convert_lejepa(state_dict, projection_layers: int = 4) -> dict:
+    """reference lejepa.py:187-282 LeJEPA(net=ViT, ...) → ssl/lejepa.py.
+    Same double-registration of the raw net as Dino; projector Sequential
+    layout is dino's MLP (lejepa.py reuses it)."""
+    L = projection_layers
+    rules: list[Rule] = []
+    rules += vit_rules(r"encoder\.net\.", "net/")
+    for i in range(L - 1):
+        rules += _linear(
+            rf"encoder\.projector\.net\.{2 * i}", f"encoder/projector/fc{i}"
+        )
+    rules += _linear(
+        rf"encoder\.projector\.net\.{2 * L - 1}", "encoder/projector/out"
+    )
+    rules += [(r"net\..*", "<drop>", identity)]
+    return apply_rules(state_dict, rules)
+
+
 def convert_mpp(state_dict) -> dict:
     """reference mpp.py:79-175 MPP(transformer=ViT, ...) → ssl/mpp.py.
     ``patch_to_emb`` re-registers transformer.to_patch_embedding[1:]
