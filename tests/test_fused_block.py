@@ -46,6 +46,23 @@ def test_fused_block_matches_xla_reference(qkv_bias, out_bias):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
+def test_fused_block_odd_batch():
+    """b=3 forces imgs_per_step=1 — both grid layouts must match the XLA
+    composite."""
+    x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb = _inputs(jnp.float32)
+    x = jnp.concatenate([x, x[:1] * 0.7], axis=0)
+    res = jnp.concatenate([res, res[:1] * 0.7], axis=0)
+    kw = dict(heads=H, dim_head=D)
+    want = _xla_reference(
+        x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb, scale=D**-0.5, eps=1e-5, **kw
+    )
+    got = fused_attention_block(
+        x, res, w_qkv, w_out, lns, lnb, b_qkv=b_qkv, b_out=b_out,
+        interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
 def test_fused_block_grad_matches_reference():
     """custom_vjp backward is the vjp of the XLA composite — grads must agree
     with differentiating the composite directly."""

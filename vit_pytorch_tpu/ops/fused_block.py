@@ -39,16 +39,23 @@ from jax.experimental import pallas as pl
 _VMEM_LIMIT = 12 * 1024 * 1024
 
 
-def _vmem_bytes(n: int, dim: int, inner: int, heads: int, itemsize: int) -> int:
+def _vmem_bytes(
+    n: int, dim: int, inner: int, heads: int, itemsize: int, imgs_per_step: int = 1
+) -> int:
     weights = dim * 3 * inner * itemsize + inner * dim * itemsize
+    rows = imgs_per_step * n
     acts = (
-        2 * n * dim * itemsize  # x + out
-        + n * 3 * inner * itemsize  # qkv
-        + n * dim * 4  # fp32 LN temp
-        + 2 * n * n * 4  # live fp32 logits (a couple of heads in flight)
-        + n * inner * itemsize  # merged heads
+        2 * rows * dim * itemsize  # x + out
+        + rows * 3 * inner * itemsize  # qkv
+        + rows * dim * 4  # fp32 LN temp
+        + 2 * n * n * 4  # live fp32 logits — per-image, does NOT scale with ips
+        + rows * inner * itemsize  # merged heads
     )
-    return 2 * weights // 2 + acts + weights  # weights resident once + margin
+    # weights resident once (their BlockSpec index is constant so pallas does
+    # not double-buffer them) + the per-step IO blocks (x, res, out) double-
+    # buffered across grid steps
+    io_dbuf = 3 * rows * dim * itemsize
+    return weights + acts + io_dbuf
 
 
 def fused_block_supported(
@@ -93,8 +100,14 @@ def _kernel(
     eps: float,
     with_bqkv: bool,
     with_bout: bool,
+    imgs_per_step: int = 1,
 ):
-    x = x_ref[0]  # (n, dim)
+    # ``imgs_per_step`` images share one grid step: the LN/qkv/out GEMMs run
+    # over the stacked rows (amortizing the 197→sublane padding and weight
+    # reuse), only the per-head softmax attention stays per-image.  Measured
+    # (tools/bench_fused_tuning.py): 2/step 1.228 ms/layer vs 1/step 1.262.
+    n = x_ref.shape[1]
+    x = x_ref[...].reshape(imgs_per_step * n, x_ref.shape[2])
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
@@ -105,33 +118,40 @@ def _kernel(
     qkv = jnp.dot(ln, wqkv_ref[...], preferred_element_type=jnp.float32)
     if with_bqkv:
         qkv = qkv + bqkv_ref[0].astype(jnp.float32)
-    qkv = qkv.astype(x.dtype)  # (n, 3*inner)
+    qkv = qkv.astype(x.dtype)  # (imgs*n, 3*inner)
 
     inner = heads * dim_head
-    outs = []
-    for h in range(heads):
-        sl = slice(h * dim_head, (h + 1) * dim_head)
-        q = qkv[:, sl]
-        k = qkv[:, inner + h * dim_head : inner + (h + 1) * dim_head]
-        v = qkv[:, 2 * inner + h * dim_head : 2 * inner + (h + 1) * dim_head]
-        logits = (
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    img_outs = []
+    for j in range(imgs_per_step):
+        rows = slice(j * n, (j + 1) * n)
+        outs = []
+        for h in range(heads):
+            q = qkv[rows, h * dim_head : (h + 1) * dim_head]
+            k = qkv[rows, inner + h * dim_head : inner + (h + 1) * dim_head]
+            v = qkv[rows, 2 * inner + h * dim_head : 2 * inner + (h + 1) * dim_head]
+            logits = (
+                jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                * scale
             )
-            * scale
-        )
-        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
-        outs.append(o.astype(x.dtype))
-    merged = jnp.concatenate(outs, axis=-1)  # (n, inner)
+            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
+            outs.append(o.astype(x.dtype))
+        img_outs.append(jnp.concatenate(outs, axis=-1))  # (n, inner)
+    merged = (
+        img_outs[0]
+        if imgs_per_step == 1
+        else jnp.concatenate(img_outs, axis=0)
+    )  # (imgs*n, inner)
 
     out = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32)
     if with_bout:
         out = out + bout_ref[0].astype(jnp.float32)
-    out = out + res_ref[0].astype(jnp.float32)
-    o_ref[0] = out.astype(x.dtype)
+    out = out + res_ref[...].reshape(imgs_per_step * n, -1).astype(jnp.float32)
+    o_ref[...] = out.astype(x.dtype).reshape(o_ref.shape)
 
 
 def _xla_reference(
@@ -177,6 +197,13 @@ def _pallas_forward(
     bqkv_arr = (b_qkv if with_bqkv else jnp.zeros((3 * inner,), x.dtype)).reshape(1, -1)
     bout_arr = (b_out if with_bout else jnp.zeros((dim,), x.dtype)).reshape(1, -1)
 
+    # two images per grid step when the batch divides (measured 2.7% faster;
+    # VMEM headroom re-checked with the doubled activation set)
+    ips = (
+        2
+        if (b % 2 == 0 and _vmem_bytes(n, dim, inner, heads, 2, imgs_per_step=2) <= _VMEM_LIMIT)
+        else 1
+    )
     kern = functools.partial(
         _kernel,
         heads=heads,
@@ -185,14 +212,15 @@ def _pallas_forward(
         eps=eps,
         with_bqkv=with_bqkv,
         with_bout=with_bout,
+        imgs_per_step=ips,
     )
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
-        grid=(b,),
+        grid=(b // ips,),
         in_specs=[
-            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((ips, n, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((ips, n, dim), lambda i: (i, 0, 0)),
             pl.BlockSpec((dim, 3 * inner), lambda i: (0, 0)),
             pl.BlockSpec((1, 3 * inner), lambda i: (0, 0)),
             pl.BlockSpec((inner, dim), lambda i: (0, 0)),
@@ -200,7 +228,7 @@ def _pallas_forward(
             pl.BlockSpec((1, dim), lambda i: (0, 0)),
             pl.BlockSpec((1, dim), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((ips, n, dim), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(
         x,
