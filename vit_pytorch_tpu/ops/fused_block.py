@@ -198,10 +198,19 @@ def _pallas_forward(
     bout_arr = (b_out if with_bout else jnp.zeros((dim,), x.dtype)).reshape(1, -1)
 
     # two images per grid step when the batch divides (measured 2.7% faster;
-    # VMEM headroom re-checked with the doubled activation set)
+    # VMEM headroom re-checked with the doubled activation set).  The in-
+    # kernel (2, n, dim) -> (2n, dim) collapse is only a layout no-op when
+    # the sublane padding composes: ceil(2n/8) == 2*ceil(n/8), i.e.
+    # n % 8 in {0, 5, 6, 7} (otherwise Mosaic rejects the shape cast).
+    # Lanes must tile too: dim % 128 == 0.
     ips = (
         2
-        if (b % 2 == 0 and _vmem_bytes(n, dim, inner, heads, 2, imgs_per_step=2) <= _VMEM_LIMIT)
+        if (
+            b % 2 == 0
+            and (n % 8 == 0 or n % 8 >= 5)
+            and dim % 128 == 0
+            and _vmem_bytes(n, dim, inner, heads, 2, imgs_per_step=2) <= _VMEM_LIMIT
+        )
         else 1
     )
     kern = functools.partial(
