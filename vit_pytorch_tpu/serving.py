@@ -1,0 +1,201 @@
+"""Serving layer: ahead-of-time-compiled, bucket-batched TPU inference.
+
+No reference counterpart — the reference (lucidrains/vit-pytorch) serves by
+calling the torch module eagerly.  On TPU that strategy fails three ways:
+
+1. XLA requires **static shapes**: every distinct batch size is a separate
+   compilation, and the first ViT-B compile costs tens of seconds.  A server
+   that compiles on the first request of each size has unbounded tail
+   latency.
+2. Serving weights should be **bf16** (2x HBM bandwidth, MXU-native), while
+   training checkpoints are fp32.
+3. Multi-chip serving wants the batch **sharded over a mesh** with the
+   params replicated — XLA inserts the collectives; the caller should not
+   hand-roll any of it.
+
+``Predictor`` solves all three: it pads every request up to a fixed set of
+batch-size buckets, AOT-compiles one executable per bucket at construction
+time (``jax.jit(...).lower(...).compile()``), casts params once to the
+serving dtype, and optionally lays params/batch out over a
+``jax.sharding.Mesh``.  Requests larger than the biggest bucket are chunked.
+
+Example::
+
+    model = ViT(image_size=224, patch_size=16, num_classes=1000, ...)
+    variables = model.init(key, jnp.ones((1, 3, 224, 224)))
+    p = Predictor(model, variables, example_shape=(3, 224, 224),
+                  batch_sizes=(1, 8, 32, 128))
+    logits = p(images)          # images: (k, 3, 224, 224), any k
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _cast_floating(tree, dtype):
+    def cast(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return jnp.asarray(x)
+
+    return jax.tree.map(cast, tree)
+
+
+class Predictor:
+    """Bucket-batched, AOT-compiled inference wrapper for any zoo model.
+
+    Args:
+        model: a Flax module from the zoo (or ``None`` when ``apply_fn`` is
+            given).
+        variables: the model's variable dict (``{'params': ...}`` plus any
+            ``batch_stats`` etc.).  Floating leaves are cast to
+            ``param_dtype`` once, up front.
+        example_shape: per-example input shape, e.g. ``(3, 224, 224)``.
+        batch_sizes: bucket sizes, ascending.  Each gets its own compiled
+            executable; requests are padded up to the smallest bucket that
+            fits (and chunked by the largest when bigger).
+        param_dtype: serving dtype for params (default bf16 — the MXU-native
+            choice; pass ``jnp.float32`` to serve exactly the checkpoint).
+        input_dtype: dtype the batch is cast to (defaults to
+            ``param_dtype``).
+        apply_fn: optional override ``(variables, batch) -> out`` for models
+            whose ``apply`` needs extra kwargs (masks, ``train=False`` flags
+            that are not the default, wrapper methods, ...).
+        mesh: optional ``jax.sharding.Mesh`` with a ``'data'`` axis.  Params
+            are replicated, the batch is sharded on ``'data'`` — bucket
+            sizes must divide the data-axis size.
+        aot: compile all buckets at construction (default).  With
+            ``aot=False`` each bucket compiles lazily on first use
+            (``warmup()`` compiles the rest).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        *,
+        example_shape: Sequence[int],
+        batch_sizes: Sequence[int] = (1, 8, 32, 128),
+        param_dtype=jnp.bfloat16,
+        input_dtype=None,
+        apply_fn: Optional[Callable] = None,
+        mesh: Optional[Mesh] = None,
+        aot: bool = True,
+    ):
+        if not batch_sizes:
+            raise ValueError("need at least one batch-size bucket")
+        self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
+        self.example_shape = tuple(example_shape)
+        self.param_dtype = param_dtype
+        self.input_dtype = input_dtype or param_dtype
+        self.mesh = mesh
+
+        if apply_fn is None:
+            if model is None:
+                raise ValueError("pass either model or apply_fn")
+            apply_fn = lambda v, x: model.apply(v, x)
+        self._apply = apply_fn
+
+        if mesh is not None:
+            if "data" not in mesh.axis_names:
+                raise ValueError(f"mesh must have a 'data' axis, got {mesh.axis_names}")
+            ndata = mesh.shape["data"]
+            bad = [b for b in self.batch_sizes if b % ndata]
+            if bad:
+                raise ValueError(
+                    f"bucket sizes {bad} do not divide the data-axis size {ndata}"
+                )
+            self._param_sharding = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(
+                mesh, P("data", *([None] * len(self.example_shape)))
+            )
+        else:
+            self._param_sharding = None
+            self._batch_sharding = None
+
+        variables = _cast_floating(variables, param_dtype)
+        if self._param_sharding is not None:
+            variables = jax.device_put(
+                variables, jax.tree.map(lambda _: self._param_sharding, variables)
+            )
+        self.variables = variables
+
+        self._compiled = {}
+        if aot:
+            self.warmup()
+
+    # -- compilation ------------------------------------------------------
+
+    def _compile(self, bucket: int):
+        x_struct = jax.ShapeDtypeStruct(
+            (bucket, *self.example_shape), self.input_dtype
+        )
+        if self._batch_sharding is not None:
+            x_struct = jax.ShapeDtypeStruct(
+                x_struct.shape, x_struct.dtype, sharding=self._batch_sharding
+            )
+        # concrete params are fine for lower(): only their avals (+committed
+        # shardings) are used — no forward runs here
+        return jax.jit(self._apply).lower(self.variables, x_struct).compile()
+
+    def warmup(self):
+        """Compile every bucket that is not compiled yet (blocking)."""
+        for b in self.batch_sizes:
+            if b not in self._compiled:
+                self._compiled[b] = self._compile(b)
+        return self
+
+    @property
+    def compiled_buckets(self):
+        return tuple(sorted(self._compiled))
+
+    def cost_analysis(self, bucket: Optional[int] = None):
+        """XLA cost analysis (flops, bytes accessed) for one bucket."""
+        b = bucket or self.batch_sizes[-1]
+        if b not in self._compiled:
+            self._compiled[b] = self._compile(b)
+        return self._compiled[b].cost_analysis()
+
+    # -- dispatch ---------------------------------------------------------
+
+    def _bucket_for(self, k: int) -> int:
+        for b in self.batch_sizes:
+            if b >= k:
+                return b
+        return self.batch_sizes[-1]
+
+    def _run_padded(self, x):
+        """x.shape[0] <= largest bucket: pad up, run, slice back."""
+        k = x.shape[0]
+        b = self._bucket_for(k)
+        if b not in self._compiled:
+            self._compiled[b] = self._compile(b)
+        if k != b:
+            pad = jnp.zeros((b - k, *self.example_shape), self.input_dtype)
+            x = jnp.concatenate([x, pad], axis=0)
+        if self._batch_sharding is not None:
+            x = jax.device_put(x, self._batch_sharding)
+        out = self._compiled[b](self.variables, x)
+        return jax.tree.map(lambda o: o[:k], out)
+
+    def __call__(self, x):
+        """Run inference on ``x`` of shape ``(k, *example_shape)``, any k."""
+        x = jnp.asarray(x, self.input_dtype)
+        if x.shape[1:] != self.example_shape:
+            raise ValueError(
+                f"expected (k, {self.example_shape}), got {x.shape}"
+            )
+        k = x.shape[0]
+        big = self.batch_sizes[-1]
+        if k <= big:
+            return self._run_padded(x)
+        # chunk by the largest bucket; the remainder pads into its own bucket
+        outs = [
+            self._run_padded(x[i : i + big]) for i in range(0, k, big)
+        ]
+        return jax.tree.map(lambda *os: jnp.concatenate(os, axis=0), *outs)
