@@ -19,6 +19,7 @@ MLPerf-style ViT-B numbers land 2-4k img/s — we use 3000 img/s as the
 baseline denominator.
 """
 
+import functools
 import json
 import sys
 import time
@@ -59,7 +60,7 @@ def measure_train_step(batch=1024, steps=3):
     tx = optax.adam(3e-4)
     opt_state = tx.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, img, labels):
         def loss_fn(p):
             logits = model.apply({"params": p}, img)
