@@ -115,6 +115,7 @@ def main():
             f"test acc {acc * 100:5.1f}%  ({time.time() - t0:.1f}s)"
         )
 
+    acc = float(accuracy(params, jnp.asarray(x_test), jnp.asarray(y_test)))
     assert acc > 0.5, "model failed to learn"
     print(f"final test accuracy: {acc * 100:.1f}% (chance = 10%)")
 

@@ -46,6 +46,41 @@ def test_fused_block_matches_xla_reference(qkv_bias, out_bias):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
+def test_fused_block_no_residual():
+    """residual=None: the kernel takes no res operand (no zeros streamed)
+    and returns the bare block output; grads must still match."""
+    x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb = _inputs(jnp.float32)
+    kw = dict(heads=H, dim_head=D)
+    want = _xla_reference(
+        x, None, w_qkv, b_qkv, w_out, b_out, lns, lnb, scale=D**-0.5, eps=1e-5, **kw
+    )
+    got = fused_attention_block(
+        x, None, w_qkv, w_out, lns, lnb, b_qkv=b_qkv, b_out=b_out,
+        interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    g_fused = jax.grad(
+        lambda x: jnp.sum(
+            fused_attention_block(
+                x, None, w_qkv, w_out, lns, lnb, b_qkv=b_qkv, b_out=b_out,
+                interpret=True, **kw
+            )
+            ** 2
+        )
+    )(x)
+    g_ref = jax.grad(
+        lambda x: jnp.sum(
+            _xla_reference(
+                x, None, w_qkv, b_qkv, w_out, b_out, lns, lnb,
+                scale=D**-0.5, eps=1e-5, **kw
+            )
+            ** 2
+        )
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=5e-4, rtol=1e-3)
+
+
 def test_fused_block_odd_batch():
     """b=3 forces imgs_per_step=1 — both grid layouts must match the XLA
     composite."""

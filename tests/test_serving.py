@@ -126,7 +126,7 @@ def test_mesh_sharded_serving_matches_single_device(model_and_vars):
 def test_mesh_rejects_indivisible_buckets(model_and_vars):
     model, variables = model_and_vars
     mesh = make_mesh(data=8, devices=jax.devices("cpu"))
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="multiples"):
         Predictor(
             model,
             variables,

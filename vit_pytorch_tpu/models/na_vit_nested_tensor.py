@@ -24,7 +24,7 @@ from typing import Callable, Optional, Union
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..nn.blocks import LN_EPS
+from ..nn.blocks import LN_EPS, FeedForward
 from ..ops.attention import dot_product_attention
 from ..ops.packing import PackedImages, pack_images
 from ..utils.helpers import pair
@@ -90,21 +90,13 @@ class NestedAttention(nn.Module):
         return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
 
 
-class NestedFeedForward(nn.Module):
-    """reference na_vit_nested_tensor.py:33-41: bias-free LN, biased Linears."""
-
-    dim: int
-    hidden_dim: int
-    dropout: float = 0.0
-
-    @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        x = nn.LayerNorm(epsilon=LN_EPS, use_bias=False, name="norm")(x)
-        x = nn.Dense(self.hidden_dim, name="fc1")(x)
-        x = nn.gelu(x, approximate=x.dtype in (jnp.bfloat16, jnp.float16))
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.dim, name="fc2")(x)
-        return nn.Dropout(self.dropout, deterministic=not train)(x)
+def NestedFeedForward(*, dim, hidden_dim, dropout=0.0, name=None):
+    """reference na_vit_nested_tensor.py:33-41: bias-free LN, biased Linears
+    — exactly the shared FeedForward with ``norm_bias=False`` (same param
+    tree: norm/fc1/fc2; same dtype-adaptive GELU)."""
+    return FeedForward(
+        dim=dim, hidden_dim=hidden_dim, dropout=dropout, norm_bias=False, name=name
+    )
 
 
 class NestedTransformer(nn.Module):

@@ -28,7 +28,8 @@ from .simple_vit import SimpleTransformer
 
 class SimpleViT(nn.Module):
     """reference simple_flash_attn_vit.py:139 — same keyword constructor
-    (``use_flash``; ``use_flash_attn`` accepted as an alias via factory use)."""
+    (``use_flash``, exactly as the reference 2-D variant; the 3-D variant's
+    reference kwarg is ``use_flash_attn`` and is mirrored there)."""
 
     image_size: int | tuple
     patch_size: int | tuple

@@ -245,6 +245,7 @@ class Attention(nn.Module):
 
         fused_ok = (
             not exists(context)
+            and self.flash is not False  # explicit flash=False opts out of ALL kernels
             and not self.force_split_qkv
             and self.pre_norm
             and not self.qk_norm
@@ -275,10 +276,10 @@ class Attention(nn.Module):
             cast = lambda w: None if w is None else w.astype(x.dtype)
             if ln_bias is None:
                 ln_bias = jnp.zeros((self.dim,), x.dtype)
-            res = residual if residual is not None else jnp.zeros_like(x)
+            # residual=None rides through as a no-op (no zeros streamed)
             return fused_attention_block(
                 x,
-                res,
+                residual,
                 cast(w_qkv),
                 cast(w_out),
                 cast(ln_scale),

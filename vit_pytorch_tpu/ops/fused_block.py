@@ -58,6 +58,28 @@ def _vmem_bytes(
     return weights + acts + io_dbuf
 
 
+def _vmem_bytes_bwd(n: int, dim: int, inner: int, itemsize: int) -> int:
+    """Backward-kernel working set (always ips=1).  Deliberately generous —
+    Mosaic reuses buffers, so this over-counts; the limit below is
+    calibrated so that the hardware-proven ViT-B config (n=197) passes and
+    the first over-budget config (n≈324, where the f32 temporaries alone
+    approach core VMEM) is rejected at dispatch time instead of failing to
+    compile at train time."""
+    weights = dim * 3 * inner * itemsize + inner * dim * itemsize
+    f32_tmps = (
+        4 * n * dim * 4  # xf/xhat/h/dh-class temporaries
+        + 2 * n * 3 * inner * 4  # qkv_f32 + dqkv (f32 before cast)
+        + n * inner * 4  # dm
+        + 4 * n * n * 4  # live logits/p/dp/ds for the head in flight
+    )
+    out_dbuf = 2 * (n * dim * itemsize * 2 + n * 3 * inner * itemsize + n * inner * itemsize)
+    return weights + f32_tmps + out_dbuf
+
+
+# physical core VMEM; paired with the deliberately-generous bwd estimator
+_VMEM_LIMIT_BWD = 16 * 1024 * 1024
+
+
 def fused_block_supported(
     x_shape, dtype, heads: int, dim_head: int, dim: int
 ) -> bool:
@@ -80,28 +102,34 @@ def fused_block_supported(
     inner = heads * dim_head
     if _vmem_bytes(n, dim, inner, heads, 2) > _VMEM_LIMIT:
         return False
+    # dispatch can't know whether grad will be taken, so the backward
+    # kernel's (larger) working set must fit too
+    if _vmem_bytes_bwd(n, dim, inner, 2) > _VMEM_LIMIT_BWD:
+        return False
     return True
 
 
 def _kernel(
-    x_ref,
-    res_ref,
-    wqkv_ref,
-    bqkv_ref,
-    wout_ref,
-    bout_ref,
-    lns_ref,
-    lnb_ref,
-    o_ref,
-    *,
+    *refs,
     heads: int,
     dim_head: int,
     scale: float,
     eps: float,
     with_bqkv: bool,
     with_bout: bool,
+    with_res: bool,
     imgs_per_step: int = 1,
 ):
+    if with_res:
+        (x_ref, res_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, lns_ref,
+         lnb_ref, o_ref) = refs
+    else:
+        # no residual operand: callers that add their own residual outside
+        # (Attention used directly, not via Transformer) don't pay an HBM
+        # stream of zeros
+        (x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, lns_ref, lnb_ref,
+         o_ref) = refs
+        res_ref = None
     # ``imgs_per_step`` images share one grid step: the LN/qkv/out GEMMs run
     # over the stacked rows (amortizing the 197→sublane padding and weight
     # reuse), only the per-head softmax attention stays per-image.  Measured
@@ -150,7 +178,8 @@ def _kernel(
     out = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32)
     if with_bout:
         out = out + bout_ref[0].astype(jnp.float32)
-    out = out + res_ref[...].reshape(imgs_per_step * n, -1).astype(jnp.float32)
+    if with_res:
+        out = out + res_ref[...].reshape(imgs_per_step * n, -1).astype(jnp.float32)
     o_ref[...] = out.astype(x.dtype).reshape(o_ref.shape)
 
 
@@ -182,7 +211,7 @@ def _xla_reference(
     out = o @ w_out
     if b_out is not None:
         out = out + b_out
-    return residual + out
+    return out if residual is None else residual + out
 
 
 def _pallas_forward(
@@ -213,6 +242,7 @@ def _pallas_forward(
         )
         else 1
     )
+    with_res = residual is not None
     kern = functools.partial(
         _kernel,
         heads=heads,
@@ -221,34 +251,39 @@ def _pallas_forward(
         eps=eps,
         with_bqkv=with_bqkv,
         with_bout=with_bout,
+        with_res=with_res,
         imgs_per_step=ips,
     )
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
-        grid=(b // ips,),
-        in_specs=[
-            pl.BlockSpec((ips, n, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((ips, n, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((dim, 3 * inner), lambda i: (0, 0)),
-            pl.BlockSpec((1, 3 * inner), lambda i: (0, 0)),
-            pl.BlockSpec((inner, dim), lambda i: (0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((ips, n, dim), lambda i: (i, 0, 0)),
-        interpret=interpret,
-    )(
-        x,
-        residual,
+    batch_spec = pl.BlockSpec((ips, n, dim), lambda i: (i, 0, 0))
+    in_specs = [batch_spec]
+    operands = [x]
+    if with_res:
+        in_specs.append(batch_spec)
+        operands.append(residual)
+    in_specs += [
+        pl.BlockSpec((dim, 3 * inner), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * inner), lambda i: (0, 0)),
+        pl.BlockSpec((inner, dim), lambda i: (0, 0)),
+        pl.BlockSpec((1, dim), lambda i: (0, 0)),
+        pl.BlockSpec((1, dim), lambda i: (0, 0)),
+        pl.BlockSpec((1, dim), lambda i: (0, 0)),
+    ]
+    operands += [
         w_qkv,
         bqkv_arr,
         w_out,
         bout_arr,
         ln_scale.reshape(1, -1),
         ln_bias.reshape(1, -1),
-    )
+    ]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
+        grid=(b // ips,),
+        in_specs=in_specs,
+        out_specs=batch_spec,
+        interpret=interpret,
+    )(*operands)
 
 
 def _bwd_kernel(
@@ -477,7 +512,7 @@ def _fused_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
         eps=eps,
         interpret=interpret,
     )
-    d_residual = g
+    d_residual = g if residual is not None else None
     db_out = (
         jnp.sum(g.astype(jnp.float32), axis=(0, 1)).astype(b_out.dtype)
         if b_out is not None

@@ -67,8 +67,8 @@ class Predictor:
             whose ``apply`` needs extra kwargs (masks, ``train=False`` flags
             that are not the default, wrapper methods, ...).
         mesh: optional ``jax.sharding.Mesh`` with a ``'data'`` axis.  Params
-            are replicated, the batch is sharded on ``'data'`` — bucket
-            sizes must divide the data-axis size.
+            are replicated, the batch is sharded on ``'data'`` — each bucket
+            size must be a multiple of the data-axis size.
         aot: compile all buckets at construction (default).  With
             ``aot=False`` each bucket compiles lazily on first use
             (``warmup()`` compiles the rest).
@@ -108,7 +108,8 @@ class Predictor:
             bad = [b for b in self.batch_sizes if b % ndata]
             if bad:
                 raise ValueError(
-                    f"bucket sizes {bad} do not divide the data-axis size {ndata}"
+                    f"bucket sizes {bad} are not multiples of the data-axis "
+                    f"size {ndata} — each bucket shards evenly over 'data'"
                 )
             self._param_sharding = NamedSharding(mesh, P())
             self._batch_sharding = NamedSharding(

@@ -252,6 +252,8 @@ def dino_forward(
         state = dino.update_moving_average(params, state)
     """
     if views is None:
+        if rng is None:
+            raise ValueError("rng=None requires injected views (augmentation is the only RNG consumer)")
         views = dino.apply(
             params, x, method=Dino.make_views, rngs={"augment": rng}
         )

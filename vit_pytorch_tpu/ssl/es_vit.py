@@ -208,6 +208,8 @@ def esvit_forward(
     ``views``: optional injected (local_one, local_two, global_one,
     global_two) for deterministic parity testing."""
     if views is None:
+        if rng is None:
+            raise ValueError("rng=None requires injected views (augmentation is the only RNG consumer)")
         views = trainer.apply(
             params, x, method=EsViTTrainer.make_views, rngs={"augment": rng}
         )

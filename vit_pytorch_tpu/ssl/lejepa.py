@@ -115,6 +115,12 @@ def lejepa_forward(
         aug_rng, sig_rng = jax.random.split(rng)
     else:
         aug_rng = sig_rng = None
+        if views is None or sigreg_projs is None:
+            raise ValueError(
+                "rng=None requires BOTH views and sigreg_projs to be "
+                "injected (augmentation and SIGReg slice directions are "
+                "the only RNG consumers)"
+            )
     if views is None:
         views = learner.apply(
             params, x, method=LeJEPA.make_views, rngs={"augment": aug_rng}
