@@ -152,3 +152,56 @@ def test_fsdp_matches_single_device():
     )
     for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_grad_accum_matches_full_batch(_model_state):
+    """grad_accum=2 microbatching inside one jitted step must reproduce the
+    full-batch update exactly (mean-reduced loss, fp32 grad accumulation;
+    dropout-free model so RNG folds don't matter)."""
+    from vit_pytorch_tpu.parallel.train import make_train_step
+
+    model, state = _model_state
+    imgs = jax.random.normal(jax.random.PRNGKey(5), (8, 3, 32, 32))
+    labels = jnp.arange(8) % 5
+    rng = jax.random.PRNGKey(6)
+
+    s_full, m_full = make_train_step(model, donate=False)(state, imgs, labels, rng)
+    s_acc, m_acc = make_train_step(model, donate=False, grad_accum=2)(
+        state, imgs, labels, rng
+    )
+
+    np.testing.assert_allclose(
+        float(m_full["loss"]), float(m_acc["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_full["accuracy"]), float(m_acc["accuracy"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+
+
+def test_grad_accum_on_data_parallel_mesh(_model_state):
+    """Microbatched step composes with the sharded layout: DP mesh +
+    grad_accum equals the single-device full-batch update."""
+    from vit_pytorch_tpu.parallel.mesh import make_mesh
+    from vit_pytorch_tpu.parallel.train import (
+        make_train_step, make_sharded_train_step, shard_train_state,
+    )
+
+    model, state = _model_state
+    imgs = jax.random.normal(jax.random.PRNGKey(7), (8, 3, 32, 32))
+    labels = jnp.arange(8) % 5
+    rng = jax.random.PRNGKey(8)
+
+    s_full, m_full = make_train_step(model, donate=False)(state, imgs, labels, rng)
+
+    mesh = make_mesh(data=4, devices=jax.devices("cpu")[:4])
+    sharded = shard_train_state(state, mesh)
+    step = make_sharded_train_step(model, mesh, donate=False, grad_accum=2)
+    s_acc, m_acc = step(sharded, imgs, labels, rng)
+
+    np.testing.assert_allclose(
+        float(m_full["loss"]), float(m_acc["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)

@@ -47,16 +47,24 @@ def make_train_step(
     *,
     aux_loss_weight: float = 0.0,
     donate: bool = True,
+    grad_accum: int = 1,
 ):
     """Build a jitted (state, images, labels, rng) → (state, metrics) step.
 
     ``aux_loss_weight``: for models returning (logits, aux_loss) like
     ViT+decorr (reference vit_with_decorr.py:190, train_vit_decorr.py:96-103).
+
+    ``grad_accum``: number of microbatches per optimizer step.  The batch
+    (whose leading dim must divide by it) is processed as ``grad_accum``
+    sequential microbatches inside ONE jitted step — a ``lax.scan`` whose
+    carry is the fp32 gradient sum — so a global batch whose activations
+    exceed HBM still takes exactly one optimizer update.  Each microbatch
+    gets its own dropout fold.  Gradients are averaged in fp32 before the
+    update (numerically identical to the full-batch mean for mean-reduced
+    losses).
     """
 
-    def step(state: TrainState, images, labels, rng):
-        dropout_rng = jax.random.fold_in(rng, state.step)
-
+    def grads_and_metrics(state, params, images, labels, dropout_rng):
         def compute_loss(params):
             out = state.apply_fn(
                 {"params": params},
@@ -77,11 +85,51 @@ def make_train_step(
             acc = jnp.mean(jnp.argmax(logits, -1) == labels)
             return loss, acc
 
-        (loss, acc), grads = jax.value_and_grad(compute_loss, has_aux=True)(
-            state.params
+        return jax.value_and_grad(compute_loss, has_aux=True)(params)
+
+    def step(state: TrainState, images, labels, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        if grad_accum == 1:
+            (loss, acc), grads = grads_and_metrics(
+                state, state.params, images, labels, dropout_rng
+            )
+            state = state.apply_gradients(grads=grads)
+            return state, {"loss": loss, "accuracy": acc}
+
+        b = images.shape[0]
+        assert b % grad_accum == 0, (b, grad_accum)
+        mb = b // grad_accum
+        images = images.reshape(grad_accum, mb, *images.shape[1:])
+        labels = labels.reshape(grad_accum, mb, *labels.shape[1:])
+
+        def micro(carry, xs):
+            gsum, loss_sum, acc_sum = carry
+            im, lab, i = xs
+            (loss, acc), g = grads_and_metrics(
+                state, state.params, im, lab, jax.random.fold_in(dropout_rng, i)
+            )
+            gsum = jax.tree.map(
+                lambda a, x: a + x.astype(jnp.float32), gsum, g
+            )
+            return (gsum, loss_sum + loss, acc_sum + acc), None
+
+        gsum0 = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        (gsum, loss_sum, acc_sum), _ = jax.lax.scan(
+            micro,
+            (gsum0, jnp.float32(0.0), jnp.float32(0.0)),
+            (images, labels, jnp.arange(grad_accum)),
+        )
+        grads = jax.tree.map(
+            lambda g, p: (g / grad_accum).astype(p.dtype), gsum, state.params
         )
         state = state.apply_gradients(grads=grads)
-        return state, {"loss": loss, "accuracy": acc}
+        return state, {
+            "loss": loss_sum / grad_accum,
+            "accuracy": acc_sum / grad_accum,
+        }
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
