@@ -137,6 +137,28 @@ def test_mesh_rejects_indivisible_buckets(model_and_vars):
         )
 
 
+def test_from_checkpoint_roundtrip(model_and_vars, tmp_path):
+    """save_checkpoint -> Predictor.from_checkpoint serves the restored
+    weights (same logits as the in-memory Predictor)."""
+    from vit_pytorch_tpu.utils.checkpoint import save_checkpoint
+
+    model, variables = model_and_vars
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, variables)
+
+    p = Predictor.from_checkpoint(
+        model,
+        path,
+        jnp.zeros((1, *EX)),
+        batch_sizes=(2,),
+        param_dtype=jnp.float32,
+        aot=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, *EX))
+    want = model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(p(x)), np.asarray(want), atol=1e-5)
+
+
 def test_shape_validation(model_and_vars):
     model, variables = model_and_vars
     p = Predictor(model, variables, example_shape=EX, batch_sizes=(2,), aot=False)

@@ -130,6 +130,27 @@ class Predictor:
         if aot:
             self.warmup()
 
+    @classmethod
+    def from_checkpoint(cls, model, path, sample_input, **kwargs):
+        """Restore params from an orbax checkpoint written by
+        ``utils.checkpoint.save_checkpoint({'params': ...})`` (or of a full
+        variables dict) and build a Predictor in one call.
+
+        ``sample_input``: one example WITH batch dim, e.g.
+        ``jnp.zeros((1, 3, 224, 224))`` — used both to derive the restore
+        structure via ``jax.eval_shape`` (no FLOPs) and as the default
+        ``example_shape``.
+        """
+        from .utils.checkpoint import restore_checkpoint
+
+        target = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), sample_input)
+        )
+        target = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), target)
+        variables = restore_checkpoint(path, target)
+        kwargs.setdefault("example_shape", sample_input.shape[1:])
+        return cls(model, variables, **kwargs)
+
     # -- compilation ------------------------------------------------------
 
     def _compile(self, bucket: int):
