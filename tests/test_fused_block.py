@@ -124,6 +124,36 @@ def test_fused_block_grad_matches_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
 
 
+def test_bwd_vmem_fallback(monkeypatch):
+    """When the Pallas backward's working set exceeds the VMEM budget,
+    _fused_bwd differentiates the XLA composite instead — grads must be
+    identical to the composite's (and the fused FORWARD stays available)."""
+    import vit_pytorch_tpu.ops.fused_block as fb
+
+    monkeypatch.setattr(fb, "_VMEM_LIMIT_BWD", 0)  # force the fallback
+    x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb = _inputs(jnp.float32)
+    kw = dict(heads=H, dim_head=D)
+
+    def loss_fused(x, w_qkv, w_out):
+        out = fused_attention_block(
+            x, res, w_qkv, w_out, lns, lnb, b_qkv=b_qkv, b_out=b_out,
+            interpret=True, **kw
+        )
+        return jnp.sum(out**2)
+
+    def loss_ref(x, w_qkv, w_out):
+        out = _xla_reference(
+            x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb,
+            scale=D**-0.5, eps=1e-5, **kw
+        )
+        return jnp.sum(out**2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w_qkv, w_out)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w_qkv, w_out)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)
+
+
 def test_attention_module_residual_kwarg():
     """Attention(residual=x) equals Attention(x) + x on the module path."""
     from vit_pytorch_tpu.nn.blocks import Attention

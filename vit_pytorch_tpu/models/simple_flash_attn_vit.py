@@ -58,7 +58,9 @@ class SimpleViT(nn.Module):
             heads=self.heads,
             dim_head=self.dim_head,
             mlp_dim=self.mlp_dim,
-            flash=self.flash if self.flash is not None else (self.use_flash or None),
+            # use_flash=True -> None (auto: fused/flash kernels allowed);
+            # use_flash=False -> False (explicit opt-out, reference parity)
+            flash=self.flash if self.flash is not None else (None if self.use_flash else False),
             final_norm=False,
         )
         # reference simple_flash_attn_vit.py:160-163: linear_head =

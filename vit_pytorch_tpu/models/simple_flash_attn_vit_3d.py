@@ -55,9 +55,10 @@ class SimpleViT(nn.Module):
             heads=self.heads,
             dim_head=self.dim_head,
             mlp_dim=self.mlp_dim,
+            # use_flash_attn=True -> None (auto); False -> explicit opt-out
             flash=self.flash
             if self.flash is not None
-            else (self.use_flash_attn or None),
+            else (None if self.use_flash_attn else False),
             final_norm=False,
         )
         self.linear_head = nn.Dense(self.num_classes, name="linear_head")

@@ -442,7 +442,8 @@ class Transformer(nn.Module):
         # custom_vjp saves only the layer input, so wrapping it in remat
         # would just replay the kernel forward for nothing
         attn_will_fuse = (
-            not self.qk_norm
+            self.flash is not False  # mirrors the opt-out in Attention.fused_ok
+            and not self.qk_norm
             and not exists(rotary)
             and mask is None
             and bias is None

@@ -61,10 +61,10 @@ def _vmem_bytes(
 def _vmem_bytes_bwd(n: int, dim: int, inner: int, itemsize: int) -> int:
     """Backward-kernel working set (always ips=1).  Deliberately generous —
     Mosaic reuses buffers, so this over-counts; the limit below is
-    calibrated so that the hardware-proven ViT-B config (n=197) passes and
-    the first over-budget config (n≈324, where the f32 temporaries alone
-    approach core VMEM) is rejected at dispatch time instead of failing to
-    compile at train time."""
+    calibrated so that the hardware-proven ViT-B config (n=197, estimate
+    15.6 MB) passes.  At ViT-B width the estimate crosses 16 MB around
+    n≈217, so larger sequences take the XLA-composite backward fallback
+    in _fused_bwd (the fused FORWARD keeps dispatching for serving)."""
     weights = dim * 3 * inner * itemsize + inner * dim * itemsize
     f32_tmps = (
         4 * n * dim * 4  # xf/xhat/h/dh-class temporaries
@@ -102,10 +102,9 @@ def fused_block_supported(
     inner = heads * dim_head
     if _vmem_bytes(n, dim, inner, heads, 2) > _VMEM_LIMIT:
         return False
-    # dispatch can't know whether grad will be taken, so the backward
-    # kernel's (larger) working set must fit too
-    if _vmem_bytes_bwd(n, dim, inner, 2) > _VMEM_LIMIT_BWD:
-        return False
+    # NOTE: the backward kernel's working set is ~2x the forward's; when it
+    # would not fit VMEM, _fused_bwd falls back to the XLA composite's vjp
+    # (see _bwd_fits_vmem) — the fused forward stays available for serving.
     return True
 
 
@@ -495,8 +494,33 @@ def _fused_fwd(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, heads
     return out, (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias)
 
 
+def _bwd_fits_vmem(x_shape, heads: int, dim_head: int) -> bool:
+    b, n, dim = x_shape
+    return _vmem_bytes_bwd(n, dim, heads * dim_head, 2) <= _VMEM_LIMIT_BWD
+
+
 def _fused_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
     x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias = residuals
+
+    if not _bwd_fits_vmem(x.shape, heads, dim_head):
+        # the Pallas backward's working set (~2x the forward's) would not
+        # fit VMEM at this shape — differentiate the XLA composite instead.
+        # Still recompute-from-x (only x was saved), so memory behavior
+        # matches; just slower than the in-VMEM kernel.
+        all_args = (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias)
+        present = [a is not None for a in all_args]
+        live = [a for a in all_args if a is not None]
+
+        def composite(*live_args):
+            it = iter(live_args)
+            full = [next(it) if p else None for p in present]
+            return _xla_reference(
+                *full, heads=heads, dim_head=dim_head, scale=scale, eps=eps
+            )
+
+        _, vjp = jax.vjp(composite, *live)
+        grads = iter(vjp(g))
+        return tuple(next(grads) if p else None for p in present)
 
     dx, dW_qkv, db_qkv, dW_out, dgamma, dbeta = _pallas_backward(
         x,

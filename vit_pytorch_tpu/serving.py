@@ -143,10 +143,19 @@ class Predictor:
         """
         from .utils.checkpoint import restore_checkpoint
 
+        # abstract target only (materializing zeros would double peak memory
+        # at load) — but orbax needs a concrete sharding per leaf, so attach
+        # the default device's (a scalar probe respects jax.default_device)
+        dev_sharding = jax.sharding.SingleDeviceSharding(
+            next(iter(jnp.zeros(()).devices()))
+        )
         target = jax.eval_shape(
             lambda: model.init(jax.random.PRNGKey(0), sample_input)
         )
-        target = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), target)
+        target = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=dev_sharding),
+            target,
+        )
         variables = restore_checkpoint(path, target)
         kwargs.setdefault("example_shape", sample_input.shape[1:])
         return cls(model, variables, **kwargs)
