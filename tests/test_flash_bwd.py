@@ -59,3 +59,23 @@ def test_flash_backward_matches_xla(kw):
     got, want = _grads(**kw)
     for g, e in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=2e-4, rtol=1e-3)
+
+
+def test_short_attention_vmem_fallback():
+    """Shapes whose single-slice working set exceeds the short kernel's VMEM
+    budget must fall back to the XLA composite instead of emitting a kernel
+    Mosaic can't compile (n=m=1024, d=256: logits alone are 4 MB fp32 and
+    the grouped q/k/v blocks blow the 12 MB budget at any group>1)."""
+    import numpy as np
+
+    from vit_pytorch_tpu.ops.attention import xla_attention
+    from vit_pytorch_tpu.ops.short_attention import _vmem_bytes, short_attention
+
+    assert _vmem_bytes(8, 1024, 1024, 256, 2) > 12 * 1024 * 1024
+
+    q = jnp.asarray(_RNG.normal(size=(1, 2, 1024, 256)), jnp.float32) * 0.1
+    k = jnp.asarray(_RNG.normal(size=(1, 2, 1024, 256)), jnp.float32) * 0.1
+    v = jnp.asarray(_RNG.normal(size=(1, 2, 1024, 256)), jnp.float32) * 0.1
+    got = short_attention(q, k, v)
+    want = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)

@@ -41,8 +41,30 @@ def on_tpu() -> bool:
     axon tunnel plugin ignores JAX_PLATFORMS)."""
     dev = jax.config.jax_default_device
     if dev is not None:
+        if isinstance(dev, str):  # jax accepts platform strings here too
+            return dev.split(":")[0].lower() == "tpu"
         return getattr(dev, "platform", None) == "tpu"
     return jax.default_backend() == "tpu"
+
+
+def build_segment_mask(
+    q_segment_ids, kv_segment_ids, n, m, *, causal=False, mask=None
+):
+    """Fold NaViT segment ids (token i attends j iff seg[i] == seg[j], both
+    nonnegative) and/or a causal triangle into a dense (b, 1, n, m) mask.
+    Shared by the XLA dispatch path and the flash bias-fallback backward so
+    the two can never drift."""
+    if q_segment_ids is not None and kv_segment_ids is not None:
+        seg_mask = (
+            (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :])
+            & (q_segment_ids[:, :, None] >= 0)
+            & (kv_segment_ids[:, None, :] >= 0)
+        )[:, None, :, :]
+        mask = seg_mask if mask is None else (mask & seg_mask)
+    if causal:
+        cmask = jnp.tril(jnp.ones((n, m), dtype=bool))
+        mask = cmask if mask is None else (mask & cmask)
+    return mask
 
 
 def xla_attention(
@@ -174,15 +196,9 @@ def dot_product_attention(
     # fold segments / causal into the dense mask for the XLA path
     if q_segment_ids is not None or kv_segment_ids is not None:
         assert q_segment_ids is not None and kv_segment_ids is not None
-        seg_mask = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]) & (
-            q_segment_ids[:, :, None] >= 0
-        ) & (kv_segment_ids[:, None, :] >= 0)
-        seg_mask = seg_mask[:, None, :, :]
-        mask = seg_mask if mask is None else (mask & seg_mask)
-
-    if causal:
-        cmask = jnp.tril(jnp.ones((n, m), dtype=bool))
-        mask = cmask if mask is None else (mask & cmask)
+    mask = build_segment_mask(
+        q_segment_ids, kv_segment_ids, n, m, causal=causal, mask=mask
+    )
 
     return xla_attention(
         q,

@@ -372,10 +372,24 @@ def _flash_forward(
     inputs = [qp, kp, vp]
 
     if has_bias:
-        bias_full = jnp.broadcast_to(bias, (b, h, n, m)).reshape(bh, n, m)
-        bias_full = jnp.pad(bias_full, ((0, 0), (0, n_pad - n), (0, m_pad - m)))
-        in_specs.append(pl.BlockSpec((1, block_q, block_k), lambda g, i, j: (g, i, j)))
-        inputs.append(bias_full)
+        # do NOT broadcast over (b, h) in HBM — a (1, h, n, m) rel-pos bias
+        # would blow up b-fold.  Keep the unique rows and pick the right one
+        # per grid step via the index map (grid g = batch*h + head).
+        b_b, h_b = bias.shape[:2]
+        bias_rows = bias.reshape(b_b * h_b, n, m)
+        bias_rows = jnp.pad(bias_rows, ((0, 0), (0, n_pad - n), (0, m_pad - m)))
+        if b_b == 1 and h_b == 1:
+            bias_idx = lambda g: 0
+        elif b_b == 1:
+            bias_idx = lambda g: g % h
+        elif h_b == 1:
+            bias_idx = lambda g: g // h
+        else:
+            bias_idx = lambda g: g
+        in_specs.append(
+            pl.BlockSpec((1, block_q, block_k), lambda g, i, j: (bias_idx(g), i, j))
+        )
+        inputs.append(bias_rows)
     if has_segs:
         qspec, kspec = _seg_specs(h, block_q, block_k, q_axis=0, k_axis=1)
         in_specs += [qspec, kspec]
@@ -561,18 +575,11 @@ def _flash_backward(
 
 
 def _reference_attention(q, k, v, bias, q_segment_ids, kv_segment_ids, scale, causal):
-    from .attention import xla_attention
+    from .attention import build_segment_mask, xla_attention
 
-    mask = None
-    if q_segment_ids is not None:
-        mask = (
-            (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :])
-            & (q_segment_ids[:, :, None] >= 0)
-            & (kv_segment_ids[:, None, :] >= 0)
-        )[:, None]
-    if causal:
-        cm = jnp.tril(jnp.ones((q.shape[2], k.shape[2]), dtype=bool))
-        mask = cm if mask is None else mask & cm
+    mask = build_segment_mask(
+        q_segment_ids, kv_segment_ids, q.shape[2], k.shape[2], causal=causal
+    )
     return xla_attention(q, k, v, scale=scale, bias=bias, mask=mask)
 
 
@@ -612,15 +619,9 @@ def _bwd(scale, causal, block_q, block_k, interpret, residuals, g):
     def f(q, k, v, bias):
         return _reference_attention(q, k, v, bias, qs, ks, scale, causal)
 
-    dq, dk, dv, dbias_full = jax.vjp(f, q, k, v, bias)[1](g)
-    dbias = dbias_full
-    reduce_axes = tuple(
-        i
-        for i, (s, fs) in enumerate(zip(bias.shape, dbias_full.shape))
-        if s == 1 and fs != 1
-    )
-    if reduce_axes:
-        dbias = jnp.sum(dbias_full, axis=reduce_axes, keepdims=True)
+    # jax.vjp returns the cotangent in the primal's shape — broadcast dims
+    # of a (1, h, n, m) bias are already summed by the vjp itself
+    dq, dk, dv, dbias = jax.vjp(f, q, k, v, bias)[1](g)
     return dq, dk, dv, dbias, None, None
 
 

@@ -40,7 +40,7 @@ _VMEM_LIMIT = 12 * 1024 * 1024
 
 
 def _vmem_bytes(
-    n: int, dim: int, inner: int, heads: int, itemsize: int, imgs_per_step: int = 1
+    n: int, dim: int, inner: int, itemsize: int, imgs_per_step: int = 1
 ) -> int:
     weights = dim * 3 * inner * itemsize + inner * dim * itemsize
     rows = imgs_per_step * n
@@ -100,7 +100,7 @@ def fused_block_supported(
     if d != dim:
         return False
     inner = heads * dim_head
-    if _vmem_bytes(n, dim, inner, heads, 2) > _VMEM_LIMIT:
+    if _vmem_bytes(n, dim, inner, 2) > _VMEM_LIMIT:
         return False
     # NOTE: the backward kernel's working set is ~2x the forward's; when it
     # would not fit VMEM, _fused_bwd falls back to the XLA composite's vjp
@@ -237,7 +237,7 @@ def _pallas_forward(
             b % 2 == 0
             and (n % 8 == 0 or n % 8 >= 5)
             and dim % 128 == 0
-            and _vmem_bytes(n, dim, inner, heads, 2, imgs_per_step=2) <= _VMEM_LIMIT
+            and _vmem_bytes(n, dim, inner, 2, imgs_per_step=2) <= _VMEM_LIMIT
         )
         else 1
     )

@@ -78,7 +78,9 @@ def group_images_by_max_seq_len(
     for image in images:
         h, w = _as_numpy(image).shape[-2:]
         ph, pw = h // patch_size, w // patch_size
-        image_seq_len = int((ph * pw) * (1 - calc_token_dropout(h, w)))
+        # max(1, ...) mirrors pack_images' num_keep so the greedy budget can
+        # never under-count an image the packer will keep 1 token for
+        image_seq_len = max(1, int((ph * pw) * (1 - calc_token_dropout(h, w))))
         assert image_seq_len <= max_seq_len, (
             f"image with dimensions {(h, w)} exceeds maximum sequence length"
         )
@@ -116,7 +118,10 @@ def pack_images(
         p_drop = float(calc_dropout)
         calc_dropout = lambda h, w: p_drop
     if rng is None:
-        rng = np.random.default_rng(0)
+        # fresh OS entropy — a FIXED default seed here would silently make
+        # token dropout pick the SAME kept-token pattern every call/step.
+        # Pass an explicit Generator for reproducible packing.
+        rng = np.random.default_rng()
 
     first = images[0]
     is_grouped = isinstance(first, (list, tuple))

@@ -24,11 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG_INF = -1e30
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
+# shared with the flash kernel — one definition for the sibling kernels
+from .flash_attention import _NEG_INF, _round_up
 
 
 def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, group, n_pad):
@@ -55,12 +52,29 @@ def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, group, n_pad):
         o_ref[g] = (o / l).astype(o_ref.dtype)
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _vmem_bytes(group, n_pad, m_pad, d, itemsize):
+    """q/k/v/o blocks double-buffered across grid steps + the fp32 logits
+    matrix for the slice in flight."""
+    io = group * (2 * n_pad * d + 2 * m_pad * d) * itemsize
+    return 2 * io + 2 * n_pad * m_pad * 4
+
+
 def _short_forward(q, k, v, scale, group, interpret):
     b, h, n, d = q.shape
     m = k.shape[2]
 
     n_pad = _round_up(n, 128)
     m_pad = _round_up(m, 128)
+
+    itemsize = jnp.dtype(q.dtype).itemsize
+    # shrink the group until the working set fits VMEM (large n·d shapes);
+    # if even one slice doesn't fit, this shape has no short path — the
+    # dispatcher's caller falls back to XLA (see short_attention()).
+    while group > 1 and _vmem_bytes(group, n_pad, m_pad, d, itemsize) > _VMEM_BUDGET:
+        group //= 2
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
@@ -125,9 +139,19 @@ def short_attention(
     group: int = 8,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Unmasked short-sequence attention.  q: (b, h, n, d) → (b, h, n, d)."""
+    """Unmasked short-sequence attention.  q: (b, h, n, d) → (b, h, n, d).
+
+    Shapes whose single-slice working set exceeds VMEM fall back to the XLA
+    composite (the short kernel has no tiling beyond the (b·h) group)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    if _vmem_bytes(1, _round_up(n, 128), _round_up(m, 128), d,
+                   jnp.dtype(q.dtype).itemsize) > _VMEM_BUDGET:
+        from .attention import xla_attention
+
+        return xla_attention(q, k, v, scale=scale)
     if interpret is None:
         from .attention import on_tpu
 
