@@ -12,10 +12,12 @@ Parity notes (matching torch defaults so converted weights reproduce logits):
   - Linear layers: torch weight (out,in) ↔ flax kernel (in,out).
 
 Attention recording (reference recorder.py:10-59 hooks the softmax): when the
-caller makes the ``'intermediates'`` collection mutable
-(``model.apply(..., mutable=['intermediates'])``) attention switches to the
+caller makes the dedicated ``'attn_maps'`` collection mutable
+(``model.apply(..., mutable=['attn_maps'])``) attention switches to the
 materialized-softmax XLA path and ``sow``s the post-softmax matrix — the
-jit-safe equivalent of a forward hook.
+jit-safe equivalent of a forward hook.  (Generic ``'intermediates'``
+capture, e.g. the Extractor, does NOT force the slow path for every
+layer — only the dedicated collection does.)
 """
 
 from __future__ import annotations
@@ -241,7 +243,7 @@ class Attention(nn.Module):
         inner = h * dh
         project_out = default(self.project_out, not (h == 1 and dh == self.dim))
 
-        record = self.is_mutable_collection("intermediates") or return_attn
+        record = self.is_mutable_collection("attn_maps") or return_attn
 
         fused_ok = (
             not exists(context)
@@ -346,7 +348,7 @@ class Attention(nn.Module):
                 return_attn=True,
                 use_flash=False,
             )
-            self.sow("intermediates", "attn", attn)
+            self.sow("attn_maps", "attn", attn)
         else:
             out = dot_product_attention(
                 q,
@@ -449,7 +451,7 @@ class Transformer(nn.Module):
             and bias is None
             and q_segment_ids is None
             and kv_segment_ids is None
-            and not self.is_mutable_collection("intermediates")
+            and not self.is_mutable_collection("attn_maps")
             and (self.dropout == 0.0 or not train)
             and not (self.heads == 1 and self.dim_head == self.dim)
             and x.ndim == 3

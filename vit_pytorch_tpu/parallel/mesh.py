@@ -59,8 +59,8 @@ def make_mesh(
         )
     n = len(devices)
     if data is None:
-        assert n % model == 0
-        data = n // model
+        data = n // model  # floor: the slice below uses the first data*model
+        assert data >= 1, f"need at least {model} devices for model={model}, got {n}"
     assert data * model <= n, (
         f"mesh {data}x{model} needs {data * model} devices, got {n}"
     )

@@ -64,9 +64,14 @@ def make_train_step(
     fp32 reduction-order rounding (equivalence-tested at atol 1e-6).
     """
 
+    # honor the model argument: the step applies THIS model's forward, not
+    # whatever apply_fn the state was created with (they normally agree, but
+    # passing a different model must not be silently ignored)
+    apply_fn = model.apply
+
     def grads_and_metrics(state, params, images, labels, dropout_rng):
         def compute_loss(params):
-            out = state.apply_fn(
+            out = apply_fn(
                 {"params": params},
                 images,
                 train=True,

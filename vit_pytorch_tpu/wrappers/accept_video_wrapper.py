@@ -33,7 +33,8 @@ class AcceptVideoWrapper(nn.Module):
 
     @nn.compact
     def __call__(self, video, eval_with_no_grad: bool = False, forward_kwargs=None, *, train: bool = False):
-        forward_kwargs = forward_kwargs or {}
+        # train rides into the wrapped net (overridable via forward_kwargs)
+        forward_kwargs = {"train": train, **(forward_kwargs or {})}
         time = video.shape[2]
         video_height, video_width = video.shape[-2:]
 
@@ -84,9 +85,21 @@ class AcceptVideoWrapper(nn.Module):
             leaves[pos_idx] = embed + pe[:, : embed.shape[1]].astype(embed.dtype)
 
         if exists(self.moss):
+            # reference accept_video_wrapper.py:78-79: a dict configures MOSS
+            moss = self.moss
+            if isinstance(moss, dict):
+                from ..models.vivit_with_moss import MOSS
+
+                moss = MOSS(**moss)
+            # reference :70-74: fall back to image_net.patch_size, then the
+            # nested image_net.vit.patch_size (e.g. Extractor-style wrappers)
             patch_size = self.patch_size
             if not exists(patch_size):
                 patch_size = getattr(self.image_net, "patch_size", None)
+            if not exists(patch_size):
+                patch_size = getattr(
+                    getattr(self.image_net, "vit", None), "patch_size", None
+                )
             assert exists(patch_size), "`patch_size` must be provided for MOSS"
             ph, pw = pair(patch_size)
             num_h, num_w = video_height // ph, video_width // pw
@@ -97,7 +110,7 @@ class AcceptVideoWrapper(nn.Module):
             cls_tokens, patch_tokens = embed[:, :, :num_cls], embed[:, :, num_cls:]
             b, t = patch_tokens.shape[:2]
             patch_tokens = patch_tokens.reshape(b, t, num_h, num_w, -1)
-            patch_tokens = self.moss(patch_tokens)
+            patch_tokens = moss(patch_tokens)
             patch_tokens = patch_tokens.reshape(b, t, num_patches, -1)
             leaves[pos_idx] = jnp.concatenate([cls_tokens, patch_tokens], axis=-2)
 

@@ -29,6 +29,18 @@ class Extractor:
         layer: Optional[Any] = None,
         return_embeddings_only: bool = False,
     ):
+        if layer is not None:
+            # the reference takes a module OBJECT (extractor.py:23); flax
+            # modules are addressed by name — accept a name here, reject
+            # anything else loudly rather than silently capturing the
+            # default layer
+            if not isinstance(layer, str):
+                raise ValueError(
+                    "flax modules are captured by NAME: pass "
+                    "layer_name='<submodule name>' (or layer='<name>') "
+                    "instead of a module object"
+                )
+            layer_name = layer
         self.vit = vit
         self.layer_name = layer_name
         self.return_embeddings_only = return_embeddings_only
@@ -66,6 +78,12 @@ class Extractor:
             return None
 
         embeddings = find(inter)
+        if embeddings is None:
+            # reference extractor.py:52 asserts the hook fired
+            raise ValueError(
+                f"layer {self.layer_name!r} whose output to take as "
+                f"embedding not found in the model"
+            )
         if isinstance(embeddings, tuple):
             embeddings = embeddings[0]
 

@@ -3,7 +3,7 @@ recorder.py:10-59).
 
 The reference registers forward hooks on every ``Attention.attend`` softmax
 (recorder.py:26-29).  Hooks don't exist under jit; instead every Attention
-block ``sow``s its materialized attention matrix into the 'intermediates'
+block ``sow``s its materialized attention matrix into the 'attn_maps'
 collection whenever that collection is mutable (nn/blocks.py) — making the
 collection mutable IS the "start recording" switch, and it automatically
 forces the materialized-softmax path (flash kernels can't return probs;
@@ -50,9 +50,9 @@ class Recorder:
     def __call__(self, variables, img, **kwargs):
         assert not self.ejected, "recorder has been ejected, cannot be used anymore"
         preds, mods = self.vit.apply(
-            variables, img, mutable=["intermediates"], **kwargs
+            variables, img, mutable=["attn_maps"], **kwargs
         )
-        inter = mods.get("intermediates", {})
+        inter = mods.get("attn_maps", {})
         found = _collect_attns(inter)
 
         def layer_key(item):
