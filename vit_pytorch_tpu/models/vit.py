@@ -81,8 +81,13 @@ class ViT(nn.Module):
     def patchify(self, img):
         return patchify_2d(img, *self.patch_hw)
 
-    def embed(self, img, *, train: bool = False):
-        """Patchify + embed + cls + pos emb + dropout (vit.py:120-128)."""
+    def embed(self, img, *, train: bool = False, dropout: bool = True):
+        """Patchify + embed + cls + pos emb + dropout (vit.py:120-128).
+
+        ``dropout=False`` skips the trailing emb dropout — DistillableViT
+        appends its distill token first and applies the dropout itself
+        (reference distill.py:33-34,64-66 drops out AFTER the concat, so
+        the distill token is regularized like every other token)."""
         x = self.patch_embedding(self.patchify(img))
         b, n, _ = x.shape
 
@@ -92,6 +97,8 @@ class ViT(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         seq = x.shape[1]
         x = x + self.pos_embedding[:seq].astype(x.dtype)
+        if not dropout:
+            return x
         return self.emb_drop(x, deterministic=not train)
 
     def __call__(self, img, *, train: bool = False):

@@ -66,12 +66,18 @@ def adjust_brightness(img, factor):
     return img * factor
 
 
-def adjust_contrast(img, factor):
-    mean = img.mean(axis=(-2, -1), keepdims=True)
-    return (img - mean) * factor + mean
-
-
 _GRAY = jnp.array([0.299, 0.587, 0.114])
+
+
+def adjust_contrast(img, factor):
+    # torchvision blends toward the per-image GRAYSCALE mean shared across
+    # channels (transforms/functional.py adjust_contrast), not a per-channel
+    # mean — per-channel would preserve tints torchvision shifts
+    gray_mean = jnp.einsum("bchw,c->b", img, _GRAY) / (
+        img.shape[-2] * img.shape[-1]
+    )
+    mean = gray_mean.reshape(-1, 1, 1, 1)
+    return (img - mean) * factor + mean
 
 
 def to_grayscale(img):
@@ -100,19 +106,26 @@ def adjust_hue(img, delta):
 
 
 def color_jitter(key, img, brightness=0.8, contrast=0.8, saturation=0.8, hue=0.2):
-    """torchvision ColorJitter with uniform factor sampling."""
-    kb, kc, ks, kh = jax.random.split(key, 4)
-    img = adjust_brightness(
-        img, jax.random.uniform(kb, (), minval=max(0, 1 - brightness), maxval=1 + brightness)
+    """torchvision ColorJitter: uniform factor sampling AND a random
+    permutation of the four ops per call (they don't commute — a fixed
+    order would sample a narrower augmentation distribution)."""
+    kb, kc, ks, kh, kp = jax.random.split(key, 5)
+    fb = jax.random.uniform(kb, (), minval=max(0, 1 - brightness), maxval=1 + brightness)
+    fc = jax.random.uniform(kc, (), minval=max(0, 1 - contrast), maxval=1 + contrast)
+    fs = jax.random.uniform(ks, (), minval=max(0, 1 - saturation), maxval=1 + saturation)
+    fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+    ops = (
+        lambda im: adjust_brightness(im, fb),
+        lambda im: adjust_contrast(im, fc),
+        lambda im: adjust_saturation(im, fs),
+        lambda im: adjust_hue(im, fh),
     )
-    img = adjust_contrast(
-        img, jax.random.uniform(kc, (), minval=max(0, 1 - contrast), maxval=1 + contrast)
-    )
-    img = adjust_saturation(
-        img, jax.random.uniform(ks, (), minval=max(0, 1 - saturation), maxval=1 + saturation)
-    )
-    img = adjust_hue(img, jax.random.uniform(kh, (), minval=-hue, maxval=hue))
-    return img
+    perm = jax.random.permutation(kp, 4)
+
+    def body(i, im):
+        return jax.lax.switch(perm[i], ops, im)
+
+    return jax.lax.fori_loop(0, 4, body, img)
 
 
 def random_hflip(key, img, p=0.5):
@@ -128,11 +141,14 @@ def gaussian_blur(key, img, kernel_size=3, sigma_range=(1.0, 2.0)):
     kern1d = kern1d / kern1d.sum()
     b, c, h, w = img.shape
     x = img.reshape(b * c, 1, h, w)
+    # torchvision GaussianBlur pads with REFLECT — zero ('SAME') padding
+    # would systematically darken the image border
+    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (r, r)), mode="reflect")
     x = jax.lax.conv_general_dilated(
-        x, kern1d.reshape(1, 1, kernel_size, 1), (1, 1), "SAME"
+        x, kern1d.reshape(1, 1, kernel_size, 1), (1, 1), "VALID"
     )
     x = jax.lax.conv_general_dilated(
-        x, kern1d.reshape(1, 1, 1, kernel_size), (1, 1), "SAME"
+        x, kern1d.reshape(1, 1, 1, kernel_size), (1, 1), "VALID"
     )
     return x.reshape(b, c, h, w)
 

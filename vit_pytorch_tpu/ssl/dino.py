@@ -102,27 +102,45 @@ class NetWrapper(nn.Module):
     def _capture(self, x):
         """The forward-hook equivalent: intercept the named submodule's
         ``__call__`` output while running the wrapped net."""
-        captured = {}
+        return capture_hidden(self.net, x, self.layer)
 
-        def interceptor(next_fun, args, kwargs, context):
-            out = next_fun(*args, **kwargs)
-            if (
-                context.module.name == self.layer
-                and context.method_name == "__call__"
-                and "value" not in captured
-            ):
-                captured["value"] = out
-            return out
 
-        with nn.intercept_methods(interceptor):
-            out = self.net(x)
+def capture_hidden(net, x, layer):
+    """Run ``net(x)`` and return the output of the submodule NAMED ``layer``
+    (flax's jit-safe forward-hook equivalent; shared by Dino, LeJEPA and
+    EsViT).  The reference addresses modules by name or index
+    (dino.py:87-95, default -2); flax has no module indexing, so anything
+    but a matching NAME is a hard error — a silent fallback here would
+    train the projector on classifier logits."""
+    if not isinstance(layer, str):
+        raise ValueError(
+            f"hidden_layer must be a flax submodule NAME (e.g. "
+            f"'transformer'), got {layer!r} — -1 (the net's final output) "
+            f"is handled by the wrapper; other integer indices from the "
+            f"torch reference have no flax equivalent"
+        )
+    captured = {}
 
-        if "value" not in captured:
-            return out
-        value = captured["value"]
-        if isinstance(value, tuple):
-            value = value[0]
-        return value
+    def interceptor(next_fun, args, kwargs, context):
+        out = next_fun(*args, **kwargs)
+        if (
+            context.module.name == layer
+            and context.method_name == "__call__"
+            and "value" not in captured
+        ):
+            captured["value"] = out
+        return out
+
+    with nn.intercept_methods(interceptor):
+        net(x)
+
+    if "value" not in captured:
+        # reference dino.py:141: 'hidden layer ... never emitted an output'
+        raise ValueError(f"hidden layer {layer!r} never emitted an output")
+    value = captured["value"]
+    if isinstance(value, tuple):
+        value = value[0]
+    return value
 
 
 @struct.dataclass

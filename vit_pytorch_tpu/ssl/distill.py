@@ -36,7 +36,9 @@ class DistillableViT(ViT):
 
     def __call__(self, img, distill_token=None, *, train: bool = False):
         distilling = exists(distill_token)
-        x = self.embed(img, train=train)
+        # reference distill.py:33-34,64-66: the emb dropout runs AFTER the
+        # distill token is appended, so the token is dropped out too
+        x = self.embed(img, train=train, dropout=False)
 
         if distilling:
             b = x.shape[0]
@@ -45,6 +47,7 @@ class DistillableViT(ViT):
             ).astype(x.dtype)
             x = jnp.concatenate([x, tokens], axis=1)
 
+        x = self.emb_drop(x, deterministic=not train)
         x = self.transformer(x, train=train)
 
         if distilling:

@@ -68,24 +68,16 @@ class EsViTNetWrapper(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_projection: bool = True):
-        captured = {}
+        # shared capture helper (raises on an unmatched layer name instead of
+        # silently treating classifier logits as region latents)
+        from .dino import capture_hidden
 
-        def interceptor(next_fun, args, kwargs, context):
-            out = next_fun(*args, **kwargs)
-            if (
-                context.module.name == self.layer
-                and context.method_name == "__call__"
-                and "value" not in captured
-            ):
-                captured["value"] = out
-            return out
-
-        with nn.intercept_methods(interceptor):
-            out = self.net(x)
-
-        hidden = captured.get("value", out)
-        if isinstance(hidden, tuple):
-            hidden = hidden[0]
+        if self.layer == -1:
+            hidden = self.net(x)
+            if isinstance(hidden, tuple):
+                hidden = hidden[0]
+        else:
+            hidden = capture_hidden(self.net, x, self.layer)
 
         # region latents: flatten any spatial axes → (b, n, c)
         b = hidden.shape[0]

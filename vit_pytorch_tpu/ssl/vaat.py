@@ -310,6 +310,13 @@ class VAAT(nn.Module):
         la, _, na, da = audio_hiddens.shape
         audio_hiddens = audio_hiddens.reshape(la, batch, va, na, da)
         if exists(self.num_audio_views) and self.num_audio_views > 1:
+            # reference vaat.py: the learned per-view embedding must match
+            # the number of audio views actually fed in (a mismatch would
+            # otherwise broadcast into an opaque reshape error downstream)
+            assert self.audio_view_emb.shape[0] == va, (
+                f"audio has {va} view(s) but num_audio_views="
+                f"{self.num_audio_views}"
+            )
             audio_hiddens = audio_hiddens + self.audio_view_emb[None, None, :, None, :].astype(audio_hiddens.dtype)
 
         image_context = hiddens.reshape(l, batch, v * t * n, d)
