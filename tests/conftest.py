@@ -34,9 +34,33 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # (~0.1 s each) per test.  Caching EVERY compile (min time 0) makes warm
 # runs ~5x faster, and ops shared between tests hit even on the first run.
 # Keyed by HLO hash — correctness is unaffected.
+# The cache key does NOT include host CPU features; an entry AOT-compiled on
+# a previous round's box can SIGILL on this one ("machine type ... doesn't
+# match", cpu_aot_loader.cc).  Key the cache directory by a fingerprint of
+# the host's CPU flags so a machine change silently starts a fresh cache.
+def _machine_fingerprint():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:10]
+
+
 _cache_dir = os.environ.get(
-    "VIT_TPU_TEST_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    "VIT_TPU_TEST_CACHE_DIR",
+    os.path.join(
+        os.path.dirname(__file__), f".jax_cache_{_machine_fingerprint()}"
+    ),
 )
+# make the resolved dir visible to tests that spawn driver-style subprocesses
+os.environ["VIT_TPU_TEST_CACHE_DIR"] = _cache_dir
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

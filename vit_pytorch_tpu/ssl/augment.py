@@ -16,6 +16,7 @@ from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def random_resized_crop(
@@ -66,7 +67,10 @@ def adjust_brightness(img, factor):
     return img * factor
 
 
-_GRAY = jnp.array([0.299, 0.587, 0.114])
+# host numpy, NOT jnp: a module-level jnp.array eagerly materializes on the
+# default device at import time — on the axon tunnel that is a TPU dispatch
+# before any caller can pin a device (broke dryrun_multichip hermeticity)
+_GRAY = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 
 def adjust_contrast(img, factor):
