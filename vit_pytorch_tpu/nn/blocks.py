@@ -36,6 +36,51 @@ from ..utils.helpers import default, exists
 LN_EPS = 1e-5
 
 
+def fused_block_eligible(
+    *,
+    x_shape,
+    x_dtype,
+    heads: int,
+    dim_head: int,
+    dim: int,
+    flash,
+    project_out: bool,
+    pre_norm: bool = True,
+    force_split_qkv: bool = False,
+    qk_norm: bool = False,
+    has_context: bool = False,
+    has_rotary: bool = False,
+    has_mask: bool = False,
+    has_bias: bool = False,
+    has_segments: bool = False,
+    record: bool = False,
+    dropout: float = 0.0,
+    train: bool = False,
+) -> bool:
+    """Single source of truth for whether ``Attention`` will take the fused
+    attention-block Pallas kernel.  Used both by ``Attention.__call__`` (to
+    dispatch) and by ``Transformer`` (to decide whether remat around the
+    attention call would be a no-op replay) — keeping one predicate so the
+    two can never drift (ADVICE r2: a drift silently skips remat)."""
+    return (
+        not has_context
+        and flash is not False  # explicit flash=False opts out of ALL kernels
+        and not force_split_qkv
+        and pre_norm
+        and not qk_norm
+        and not has_rotary
+        and not has_mask
+        and not has_bias
+        and not has_segments
+        and not record
+        and (dropout == 0.0 or not train)
+        and project_out
+        and len(x_shape) == 3
+        and fused_block_supported(x_shape, x_dtype, heads, dim_head, dim)
+        and on_tpu()
+    )
+
+
 class _LNParams(nn.Module):
     """Parameter container producing the exact tree nn.LayerNorm would
     (scale/bias) — lets the fused-block kernel read LN params without
@@ -245,23 +290,25 @@ class Attention(nn.Module):
 
         record = self.is_mutable_collection("attn_maps") or return_attn
 
-        fused_ok = (
-            not exists(context)
-            and self.flash is not False  # explicit flash=False opts out of ALL kernels
-            and not self.force_split_qkv
-            and self.pre_norm
-            and not self.qk_norm
-            and not exists(rotary)
-            and mask is None
-            and bias is None
-            and q_segment_ids is None
-            and kv_segment_ids is None
-            and not record
-            and (self.dropout == 0.0 or not train)
-            and project_out
-            and x.ndim == 3
-            and fused_block_supported(x.shape, x.dtype, h, dh, self.dim)
-            and on_tpu()
+        fused_ok = fused_block_eligible(
+            x_shape=x.shape,
+            x_dtype=x.dtype,
+            heads=h,
+            dim_head=dh,
+            dim=self.dim,
+            flash=self.flash,
+            project_out=project_out,
+            pre_norm=self.pre_norm,
+            force_split_qkv=self.force_split_qkv,
+            qk_norm=self.qk_norm,
+            has_context=exists(context),
+            has_rotary=exists(rotary),
+            has_mask=mask is not None,
+            has_bias=bias is not None,
+            has_segments=q_segment_ids is not None or kv_segment_ids is not None,
+            record=record,
+            dropout=self.dropout,
+            train=train,
         )
         if fused_ok:
             ln_scale, ln_bias = _LNParams(
@@ -439,26 +486,28 @@ class Transformer(nn.Module):
         def ff_call(mdl, h):
             return mdl(h, train=train)
 
-        # predict whether Attention will take the fused-block kernel path
-        # (mirrors the eligibility gate in Attention.__call__): its
-        # custom_vjp saves only the layer input, so wrapping it in remat
-        # would just replay the kernel forward for nothing
-        attn_will_fuse = (
-            self.flash is not False  # mirrors the opt-out in Attention.fused_ok
-            and not self.qk_norm
-            and not exists(rotary)
-            and mask is None
-            and bias is None
-            and q_segment_ids is None
-            and kv_segment_ids is None
-            and not self.is_mutable_collection("attn_maps")
-            and (self.dropout == 0.0 or not train)
-            and not (self.heads == 1 and self.dim_head == self.dim)
-            and x.ndim == 3
-            and fused_block_supported(
-                x.shape, x.dtype, self.heads, self.dim_head, self.dim
-            )
-            and on_tpu()
+        # predict whether Attention will take the fused-block kernel path:
+        # its custom_vjp saves only the layer input, so wrapping it in remat
+        # would just replay the kernel forward for nothing.  Shares the
+        # exact eligibility predicate with Attention.__call__ (the layers
+        # below are constructed with default pre_norm / force_split_qkv /
+        # project_out, matching the arguments here).
+        attn_will_fuse = fused_block_eligible(
+            x_shape=x.shape,
+            x_dtype=x.dtype,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dim=self.dim,
+            flash=self.flash,
+            project_out=not (self.heads == 1 and self.dim_head == self.dim),
+            qk_norm=self.qk_norm,
+            has_rotary=exists(rotary),
+            has_mask=mask is not None,
+            has_bias=bias is not None,
+            has_segments=q_segment_ids is not None or kv_segment_ids is not None,
+            record=self.is_mutable_collection("attn_maps"),
+            dropout=self.dropout,
+            train=train,
         )
 
         if self.remat:

@@ -375,7 +375,17 @@ def _flash_forward(
         # do NOT broadcast over (b, h) in HBM — a (1, h, n, m) rel-pos bias
         # would blow up b-fold.  Keep the unique rows and pick the right one
         # per grid step via the index map (grid g = batch*h + head).
+        if bias.ndim != 4 or bias.shape[2:] != (n, m):
+            raise ValueError(
+                f"flash attention bias must have shape (b|1, h|1, {n}, {m}); "
+                f"got {bias.shape}"
+            )
         b_b, h_b = bias.shape[:2]
+        if b_b not in (1, b) or h_b not in (1, h):
+            raise ValueError(
+                f"flash attention bias leading dims must broadcast against "
+                f"(b={b}, h={h}); got {bias.shape[:2]}"
+            )
         bias_rows = bias.reshape(b_b * h_b, n, m)
         bias_rows = jnp.pad(bias_rows, ((0, 0), (0, n_pad - n), (0, m_pad - m)))
         if b_b == 1 and h_b == 1:

@@ -111,6 +111,12 @@ def pack_images(
 ) -> PackedImages:
     """Pack a list of (c, H, W) images (or list of lists, pre-grouped) into
     fixed-shape device arrays.  Mirrors reference na_vit.py:255-342 host logic.
+
+    .. note:: behavior change vs pre-r2 versions: ``rng=None`` now draws OS
+       entropy instead of a fixed ``default_rng(0)``, so token-dropout
+       patterns differ between calls by default (matching torch's implicit
+       global RNG in reference na_vit.py:306-314).  Pass an explicit
+       ``np.random.Generator`` for reproducible packing.
     """
     use_dropout = train and token_dropout_prob is not None
     calc_dropout = token_dropout_prob

@@ -61,6 +61,15 @@ def make_mesh(
     if data is None:
         data = n // model  # floor: the slice below uses the first data*model
         assert data >= 1, f"need at least {model} devices for model={model}, got {n}"
+        if data * model < n:
+            import warnings
+
+            warnings.warn(
+                f"make_mesh: {n} devices do not divide by model={model}; "
+                f"using a {data}x{model} mesh and leaving "
+                f"{n - data * model} device(s) idle",
+                stacklevel=2,
+            )
     assert data * model <= n, (
         f"mesh {data}x{model} needs {data * model} devices, got {n}"
     )

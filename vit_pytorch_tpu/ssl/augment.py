@@ -19,6 +19,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def resized_crop(
+    img: jnp.ndarray,
+    i: int,
+    j: int,
+    h: int,
+    w: int,
+    out_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """torchvision ``F.resized_crop`` with a STATIC integer box: crop
+    ``img[..., i:i+h, j:j+w]`` then bilinear-resize with antialiasing
+    (torchvision resize default for tensors, v0.19).  Golden-tested vs
+    ``F.interpolate(..., mode='bilinear', antialias=True)``."""
+    crop = img[..., i : i + h, j : j + w]
+    return jax.image.resize(
+        crop, img.shape[:-2] + tuple(out_size), method="bilinear", antialias=True
+    )
+
+
 def random_resized_crop(
     key: jax.Array,
     img: jnp.ndarray,
@@ -27,8 +45,13 @@ def random_resized_crop(
     ratio: Tuple[float, float] = (3 / 4, 4 / 3),
 ) -> jnp.ndarray:
     """torchvision RandomResizedCrop on a batched (b, c, h, w) tensor.
-    Implemented with ``jax.image.scale_and_translate`` so fractional crop
-    boxes stay jit-static."""
+    Implemented with ``jax.image.scale_and_translate`` so traced crop
+    boxes stay jit-static (torchvision samples integer boxes on the host;
+    the box here is rounded to integers to match that distribution, and
+    the resample is half-pixel-centered like ``resize``).  Interior pixels
+    match :func:`resized_crop` exactly; rows within a kernel radius of the
+    crop edge may differ (the static-shape path samples the full image,
+    torchvision's crop clips the kernel at the box boundary)."""
     b, c, h, w = img.shape
     oh, ow = out_size
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -40,15 +63,16 @@ def random_resized_crop(
     )
     aspect = jnp.exp(log_ratio)
 
-    cw = jnp.sqrt(target_area * aspect)
-    ch = jnp.sqrt(target_area / aspect)
-    cw = jnp.clip(cw, 1.0, w)
-    ch = jnp.clip(ch, 1.0, h)
+    # torchvision samples integer box sizes/offsets (transforms.py get_params)
+    cw = jnp.clip(jnp.round(jnp.sqrt(target_area * aspect)), 1.0, w)
+    ch = jnp.clip(jnp.round(jnp.sqrt(target_area / aspect)), 1.0, h)
+    x0 = jnp.floor(jax.random.uniform(k3, ()) * (w - cw + 1))
+    y0 = jnp.floor(jax.random.uniform(k4, ()) * (h - ch + 1))
 
-    x0 = jax.random.uniform(k3, ()) * (w - cw)
-    y0 = jax.random.uniform(k4, ()) * (h - ch)
-
-    # map crop box → output canvas: out = img * scale + translate
+    # map crop box → output canvas: scale_and_translate's convention is
+    # sample_f = (o + 0.5)/s - t/s - 0.5, so t = -y0*s makes output pixel o
+    # sample full-image position y0 + (o + 0.5)/s - 0.5 — exactly
+    # torchvision's half-pixel-centered resize of the crop box
     scale_y = oh / ch
     scale_x = ow / cw
     translate = jnp.stack([-y0 * scale_y, -x0 * scale_x])
@@ -58,19 +82,29 @@ def random_resized_crop(
         (2, 3),
         jnp.stack([scale_y, scale_x]),
         translate,
-        method="bilinear",
+        method="linear",
+        antialias=True,
     )
     return out
 
 
-def adjust_brightness(img, factor):
-    return img * factor
-
-
 # host numpy, NOT jnp: a module-level jnp.array eagerly materializes on the
 # default device at import time — on the axon tunnel that is a TPU dispatch
-# before any caller can pin a device (broke dryrun_multichip hermeticity)
-_GRAY = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+# before any caller can pin a device (broke dryrun_multichip hermeticity).
+# 0.2989 (not 0.299) — the exact torchvision rgb_to_grayscale constant
+# (golden-tested in test_augment_golden.py).
+_GRAY = np.array([0.2989, 0.587, 0.114], dtype=np.float32)
+
+
+def _blend(img1, img2, ratio):
+    """torchvision _functional_tensor._blend: lerp THEN clamp to [0, 1].
+    The clamp is part of every ColorJitter op on float tensors — without it
+    brightness/contrast/saturation leak out-of-gamut values downstream."""
+    return jnp.clip(ratio * img1 + (1.0 - ratio) * img2, 0.0, 1.0)
+
+
+def adjust_brightness(img, factor):
+    return _blend(img, jnp.zeros_like(img), factor)
 
 
 def adjust_contrast(img, factor):
@@ -81,7 +115,7 @@ def adjust_contrast(img, factor):
         img.shape[-2] * img.shape[-1]
     )
     mean = gray_mean.reshape(-1, 1, 1, 1)
-    return (img - mean) * factor + mean
+    return _blend(img, mean, factor)
 
 
 def to_grayscale(img):
@@ -90,23 +124,57 @@ def to_grayscale(img):
 
 
 def adjust_saturation(img, factor):
-    gray = to_grayscale(img)
-    return gray + (img - gray) * factor
+    return _blend(img, to_grayscale(img), factor)
+
+
+def _rgb_to_hsv(img):
+    """torchvision _functional_tensor._rgb2hsv, branchless."""
+    r, g, b = img[:, 0], img[:, 1], img[:, 2]
+    maxc = jnp.max(img, axis=1)
+    minc = jnp.min(img, axis=1)
+    eqc = maxc == minc
+    cr = maxc - minc
+    ones = jnp.ones_like(maxc)
+    s = cr / jnp.where(eqc, ones, maxc)
+    cr_div = jnp.where(eqc, ones, cr)
+    rc = (maxc - r) / cr_div
+    gc = (maxc - g) / cr_div
+    bc = (maxc - b) / cr_div
+    hr = (maxc == r) * (bc - gc)
+    hg = ((maxc == g) & (maxc != r)) * (2.0 + rc - bc)
+    hb = ((maxc != g) & (maxc != r)) * (4.0 + gc - rc)
+    h = jnp.mod(hr + hg + hb, 6.0) / 6.0
+    return h, s, maxc
+
+
+def _hsv_to_rgb(h, s, v):
+    """torchvision _functional_tensor._hsv2rgb, branchless."""
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    i = i.astype(jnp.int32) % 6
+    p = jnp.clip(v * (1.0 - s), 0.0, 1.0)
+    q = jnp.clip(v * (1.0 - s * f), 0.0, 1.0)
+    t = jnp.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
+    mask = i[:, None] == jnp.arange(6).reshape(-1, 1, 1)  # (b, 6, h, w)
+    a1 = jnp.stack([v, q, p, p, t, v], axis=1)
+    a2 = jnp.stack([t, v, v, q, p, p], axis=1)
+    a3 = jnp.stack([p, p, t, v, v, q], axis=1)
+    a4 = jnp.stack([a1, a2, a3], axis=1)  # (b, 3, 6, h, w)
+    return jnp.einsum("bkhw,bckhw->bchw", mask.astype(v.dtype), a4)
 
 
 def adjust_hue(img, delta):
-    """YIQ rotation by delta (in turns of 2π·delta)."""
-    theta = delta * 2 * jnp.pi
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    rgb2yiq = jnp.array(
-        [[0.299, 0.587, 0.114], [0.596, -0.274, -0.322], [0.211, -0.523, 0.312]]
-    )
-    yiq2rgb = jnp.array(
-        [[1.0, 0.956, 0.621], [1.0, -0.272, -0.647], [1.0, -1.106, 1.703]]
-    )
-    rot = jnp.array([[1.0, 0, 0], [0, cos, -sin], [0, sin, cos]])
-    m = yiq2rgb @ rot @ rgb2yiq
-    return jnp.einsum("ij,bjhw->bihw", m, img)
+    """Exact torchvision adjust_hue: RGB→HSV, shift hue by ``delta`` (in
+    turns, range [-0.5, 0.5]), HSV→RGB.  Was previously a YIQ-rotation
+    approximation; the exact form is golden-tested vs torchvision."""
+    h, s, v = _rgb_to_hsv(img)
+    h = jnp.mod(h + delta, 1.0)
+    return _hsv_to_rgb(h, s, v)
+
+
+def solarize(img, threshold):
+    """torchvision solarize for float tensors (bound 1.0)."""
+    return jnp.where(img >= threshold, 1.0 - img, img)
 
 
 def color_jitter(key, img, brightness=0.8, contrast=0.8, saturation=0.8, hue=0.2):

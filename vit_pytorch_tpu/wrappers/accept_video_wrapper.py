@@ -17,6 +17,22 @@ import flax.linen as nn
 from ..utils.helpers import default, exists, pair
 
 
+def _accepts_kwarg(func, name: str) -> bool:
+    """True if calling ``func(..., name=...)`` is valid (named param or
+    **kwargs).  Unintrospectable callables default to True — flax modules
+    always route extra kwargs to ``__call__``."""
+    import inspect
+
+    try:
+        sig = inspect.signature(func)
+    except (TypeError, ValueError):
+        return True
+    params = sig.parameters.values()
+    return any(
+        p.kind is inspect.Parameter.VAR_KEYWORD or p.name == name for p in params
+    )
+
+
 class AcceptVideoWrapper(nn.Module):
     """reference accept_video_wrapper.py:27 — same keyword constructor."""
 
@@ -33,8 +49,17 @@ class AcceptVideoWrapper(nn.Module):
 
     @nn.compact
     def __call__(self, video, eval_with_no_grad: bool = False, forward_kwargs=None, *, train: bool = False):
-        # train rides into the wrapped net (overridable via forward_kwargs)
-        forward_kwargs = {"train": train, **(forward_kwargs or {})}
+        # train rides into the wrapped net (overridable via forward_kwargs);
+        # only injected when the wrapped callable actually accepts it, so
+        # plain callables without a ``train`` parameter keep working
+        forward_kwargs = dict(forward_kwargs or {})
+        if "train" not in forward_kwargs and _accepts_kwarg(
+            self.image_net
+            if self.forward_function == "__call__"
+            else getattr(self.image_net, self.forward_function),
+            "train",
+        ):
+            forward_kwargs["train"] = train
         time = video.shape[2]
         video_height, video_width = video.shape[-2:]
 
