@@ -77,10 +77,7 @@ def test_siglip_vat():
     assert svat.apply(p, imgs, tasks=tasks, extra=extra).shape == (2, 4, 5)
 
 
-def test_load_siglip_remap():
-    from vit_pytorch_tpu.ssl.vat_siglip import SigLIP, load_siglip
-
-    depth, dim, mlp = 1, 32, 64
+def _tiny_hf_siglip(dim=32, mlp=64):
     rng = np.random.default_rng(0)
     hf = {
         "vision_model.embeddings.patch_embedding.weight": rng.standard_normal((dim, 3, 7, 7)).astype(np.float32),
@@ -97,9 +94,57 @@ def test_load_siglip_remap():
                     ("mlp.fc1", (mlp, dim)), ("mlp.fc2", (dim, mlp))]:
         hf[f"vision_model.encoder.layers.0.{nm}.weight"] = rng.standard_normal(shp).astype(np.float32) * 0.02
         hf[f"vision_model.encoder.layers.0.{nm}.bias"] = np.zeros(shp[0], np.float32)
+    return hf
 
-    params = load_siglip(hf, depth=depth)
+
+def test_load_siglip_remap():
+    from vit_pytorch_tpu.ssl.vat_siglip import SigLIP, load_siglip
+
+    depth, dim, mlp = 1, 32, 64
+    params = load_siglip(_tiny_hf_siglip(dim, mlp), depth=depth)
     model = SigLIP(image_size=28, patch_size=7, dim=dim, depth=depth, heads=4, mlp_dim=mlp)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 28, 28))
     out = model.apply({"params": params}, x)
     assert out.shape == (2, 16, dim) and np.all(np.isfinite(out))
+
+
+def test_load_siglip_hub_path_mocked(tmp_path, monkeypatch):
+    """load_siglip accepts an HF repo id (reference vat_siglip.py:273-285);
+    the hub download is mocked — it must be requested with the reference's
+    snapshot_download arguments and the downloaded file then flows through
+    the normal safetensors → remap route."""
+    import huggingface_hub
+    from safetensors.numpy import save_file
+    from vit_pytorch_tpu.ssl.vat_siglip import SigLIP, load_siglip
+
+    depth, dim, mlp = 1, 32, 64
+    fake_hub = tmp_path / "hub_model.safetensors"
+    save_file(_tiny_hf_siglip(dim, mlp), str(fake_hub))
+
+    calls = {}
+
+    def fake_snapshot_download(repo_id, local_dir, allow_patterns):
+        calls["repo_id"] = repo_id
+        calls["allow_patterns"] = allow_patterns
+        os = __import__("os")
+        os.makedirs(local_dir, exist_ok=True)
+        import shutil
+
+        shutil.copy(fake_hub, os.path.join(local_dir, "model.safetensors"))
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", fake_snapshot_download)
+    monkeypatch.chdir(tmp_path)
+
+    params = load_siglip("google/siglip-so400m-patch14-224", depth=depth)
+    assert calls["repo_id"] == "google/siglip-so400m-patch14-224"
+    assert "model.safetensors" in calls["allow_patterns"]
+
+    model = SigLIP(image_size=28, patch_size=7, dim=dim, depth=depth, heads=4, mlp_dim=mlp)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 28, 28))
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 16, dim) and np.all(np.isfinite(out))
+
+    # second call: folder exists → no re-download
+    calls.clear()
+    load_siglip("google/siglip-so400m-patch14-224", depth=depth)
+    assert not calls

@@ -152,5 +152,7 @@ def forward_packed(model: NaViT, params, images, *, train: bool = False, rngs=No
         rng=rng,
     )
     logits = model.apply(params, packed, train=train, rngs=rngs)
+    # concrete (host) validity mask → static gather; keeps the result a
+    # traceable jnp array so jax.grad can flow through this wrapper
     valid = np.asarray(packed.is_image).reshape(-1)
-    return np.asarray(logits).reshape(-1, logits.shape[-1])[valid]
+    return logits.reshape(-1, logits.shape[-1])[valid]

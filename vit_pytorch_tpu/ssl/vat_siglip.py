@@ -134,11 +134,40 @@ class SigLIP(nn.Module):
         return out
 
 
+def download_siglip(
+    repo_id: str = "google/siglip-so400m-patch14-224",
+    folder: str = "checkpoints/siglip",
+) -> str:
+    """Download the SigLIP checkpoint from the HF hub like reference
+    vat_siglip.py:277-285 (snapshot_download of config.json +
+    model.safetensors, skipped when ``folder`` already exists) and return
+    the local safetensors path — feed it to :func:`load_siglip`."""
+    from pathlib import Path
+
+    folder = Path(folder)
+    if not folder.exists():
+        from huggingface_hub import snapshot_download
+
+        snapshot_download(
+            repo_id=repo_id,
+            local_dir=folder,
+            allow_patterns=["config.json", "model.safetensors"],
+        )
+    return str(folder / "model.safetensors")
+
+
 def load_siglip(source, depth: int = 27) -> dict:
     """HF SigLIP vision tower → SigLIP flax params (the remap of
-    vat_siglip.py:273-343, minus the download — pass a local safetensors
-    path or a {name: array} dict)."""
-    if isinstance(source, (str,)):
+    vat_siglip.py:273-343).  ``source`` may be a local safetensors path, a
+    {name: array} dict, or an HF repo id (anything containing "/" that is
+    not an existing file — downloaded via :func:`download_siglip`, matching
+    the reference's hub path; the local routes stay the offline-tested
+    ones)."""
+    if isinstance(source, str):
+        import os
+
+        if not os.path.exists(source) and "/" in source:
+            source = download_siglip(repo_id=source)
         from safetensors import safe_open
 
         tensors = {}
