@@ -1,0 +1,128 @@
+"""Kernel-vs-XLA equivalence for the whole-LAYER fused kernel
+(ops/fused_block.py fused_transformer_layer: attn block + FF in one Pallas
+call) — interpreter mode on CPU, forward AND the decomposed custom_vjp."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_pytorch_tpu.ops.fused_block import (
+    _ff_reference,
+    _xla_reference,
+    fused_transformer_layer,
+    whole_layer_supported,
+)
+
+B, H, N, D = 2, 4, 23, 16
+DIM = H * D
+MLP = 2 * DIM
+
+
+def _inputs(dtype, qkv_bias=False, out_bias=True):
+    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+    x = jax.random.normal(ks[0], (B, N, DIM), dtype)
+    w_qkv = jax.random.normal(ks[1], (DIM, 3 * DIM), dtype) * 0.05
+    b_qkv = jax.random.normal(ks[2], (3 * DIM,), dtype) * 0.05 if qkv_bias else None
+    w_out = jax.random.normal(ks[3], (DIM, DIM), dtype) * 0.05
+    b_out = jax.random.normal(ks[4], (DIM,), dtype) * 0.05 if out_bias else None
+    ln1s = 1.0 + 0.1 * jax.random.normal(ks[5], (DIM,), dtype)
+    ln1b = 0.1 * jax.random.normal(ks[6], (DIM,), dtype)
+    ln2s = 1.0 + 0.1 * jax.random.normal(ks[7], (DIM,), dtype)
+    ln2b = 0.1 * jax.random.normal(ks[8], (DIM,), dtype)
+    w1 = jax.random.normal(ks[9], (DIM, MLP), dtype) * 0.05
+    b1 = 0.05 * jax.random.normal(ks[10], (MLP,), dtype)
+    w2 = jax.random.normal(ks[11], (MLP, DIM), dtype) * 0.05
+    b2 = jnp.zeros((DIM,), dtype)
+    return x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2
+
+
+def _composite(x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2):
+    y = _xla_reference(
+        x, x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b,
+        heads=H, dim_head=D, scale=D**-0.5, eps=1e-5,
+    )
+    return _ff_reference(y, ln2s, ln2b, w1, b1, w2, b2, eps=1e-5)
+
+
+@pytest.mark.parametrize("qkv_bias", [False, True])
+def test_whole_layer_matches_composite(qkv_bias):
+    args = _inputs(jnp.float32, qkv_bias=qkv_bias)
+    x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2 = args
+    want = _composite(*args)
+    got = fused_transformer_layer(
+        x, w_qkv, w_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2,
+        heads=H, dim_head=D, b_qkv=b_qkv, b_out=b_out, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4)
+
+
+def test_whole_layer_grads_match_composite():
+    """The decomposed custom_vjp (Pallas attn bwd + XLA FF vjp) must agree
+    with autodiff through the XLA composite on every operand."""
+    args = _inputs(jnp.float32, qkv_bias=True)
+    x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2 = args
+
+    def loss_kernel(x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2):
+        out = fused_transformer_layer(
+            x, w_qkv, w_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2,
+            heads=H, dim_head=D, b_qkv=b_qkv, b_out=b_out, interpret=True,
+        )
+        return jnp.sum(out**2)
+
+    def loss_ref(*a):
+        return jnp.sum(_composite(*a)**2)
+
+    argnums = tuple(range(13))
+    gk = jax.grad(loss_kernel, argnums=argnums)(*args)
+    gr = jax.grad(loss_ref, argnums=argnums)(*args)
+    names = ("x", "w_qkv", "b_qkv", "w_out", "b_out", "ln1s", "ln1b",
+             "ln2s", "ln2b", "w1", "b1", "w2", "b2")
+    for name, a, b in zip(names, gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3, err_msg=name
+        )
+
+
+def test_whole_layer_supported_gate():
+    # the hardware-proven ViT-B config passes; ViT-L-width FF weights
+    # (dim 1024, mlp 4096 → 25 MB bf16) exceed the 16 MB VMEM and fall back
+    assert whole_layer_supported((128, 197, 768), jnp.bfloat16, 12, 64, 768, 3072)
+    assert not whole_layer_supported((128, 197, 1024), jnp.bfloat16, 16, 64, 1024, 4096)
+    assert not whole_layer_supported((128, 197, 768), jnp.float32, 12, 64, 768, 3072)
+
+
+def test_transformer_selects_whole_layer(monkeypatch):
+    """On (mocked) TPU with bf16 the Transformer must produce identical
+    params through the whole-layer containers as through the module path,
+    and matching outputs."""
+    import vit_pytorch_tpu.nn.blocks as blocks_mod
+
+    model = blocks_mod.Transformer(dim=DIM, depth=2, heads=H, dim_head=D, mlp_dim=MLP)
+    x32 = jax.random.normal(jax.random.PRNGKey(1), (2, N, DIM))
+    params = model.init(jax.random.PRNGKey(0), x32)
+    ref_out = model.apply(params, x32)
+
+    # same param tree must feed the whole-layer path (containers alias the
+    # module names); interpret-mode pallas on CPU
+    monkeypatch.setattr(blocks_mod, "on_tpu", lambda: True)
+    monkeypatch.setattr(
+        blocks_mod, "fused_block_supported", lambda *a, **k: True
+    )
+    monkeypatch.setattr(blocks_mod, "whole_layer_supported", lambda *a, **k: True)
+    import vit_pytorch_tpu.ops.fused_block as fb
+
+    orig = fb._layer_pallas_forward
+    monkeypatch.setattr(
+        fb, "_layer_pallas_forward",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    xb = x32.astype(jnp.bfloat16)
+    pb = jax.tree.map(lambda t: t.astype(jnp.bfloat16), params)
+    out = model.apply(pb, xb)
+    assert out.dtype == jnp.bfloat16
+    ref_b = ref_out.astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref_b),
+        atol=0.08, rtol=0.05,
+    )

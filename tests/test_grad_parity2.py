@@ -159,7 +159,10 @@ def test_navit_packed_flash_bwd_vs_xla_tpu():
     XLA masked path (flash=False)."""
     from vit_pytorch_tpu.models.na_vit import NaViT, forward_packed
 
-    kw = dict(image_size=64, patch_size=16, num_classes=11, dim=64, depth=2,
+    # depth 1: the kernel-vs-XLA comparison is per-layer; depth 2 doubles
+    # the unrolled flash fwd+bwd compile time (467 s cold through the
+    # tunnel) without adding coverage
+    kw = dict(image_size=64, patch_size=16, num_classes=11, dim=64, depth=1,
               heads=4, dim_head=16, mlp_dim=128)
     rng = np.random.default_rng(0)
     imgs = [rng.standard_normal((3, h, w)).astype(np.float32)

@@ -22,6 +22,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# XLA's default scoped-VMEM budget is 16 MB (xla_tpu_scoped_vmem_limit_kib),
+# NOT the physical v5e VMEM (128 MB).  Raise it per-kernel so high-ips
+# variants can be measured.
+_CP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 B, H, N, D = 128, 12, 197, 64
 DIM = H * D          # 768
 MLP = 4 * DIM        # 3072
@@ -161,6 +166,7 @@ def make_whole_resident(ips, batched_heads=False):
                 pl.BlockSpec((1, DIM), lambda i: (0, 0)),
             ],
             out_specs=batch_spec,
+            compiler_params=_CP,
         )(x, wqkv, wout, row(ln1s), row(ln1b), row(ln2s), row(ln2b),
           w1, row(b1), w2, row(b2))
 
@@ -229,6 +235,7 @@ def make_whole_tiled(ips, ht, batched_heads=False):
                 const((1, DIM)),
             ],
             out_specs=batch_spec,
+            compiler_params=_CP,
             scratch_shapes=[
                 pltpu.VMEM((ips * N, DIM), x.dtype),
                 pltpu.VMEM((ips * N, DIM), x.dtype),
@@ -280,8 +287,8 @@ def make_whole_padded(ips, n_pad=200, n_real=N):
         y = (att + x.astype(jnp.float32)).astype(x.dtype)
 
         h2 = _ln(y, ln2s_ref[0], ln2b_ref[0]).astype(x.dtype)
-        h2 = jnp.dot(h2, w1_ref[...], preferred_element_type=x.dtype)
-        h2 = jax.nn.gelu(h2 + b1_ref[0], approximate=True)
+        h2 = jnp.dot(h2, w1_ref[...], preferred_element_type=jnp.float32)
+        h2 = jax.nn.gelu((h2 + b1_ref[0].astype(jnp.float32)).astype(x.dtype), approximate=True)
         out = jnp.dot(h2, w2_ref[...], preferred_element_type=jnp.float32)
         out = out + b2_ref[0].astype(jnp.float32) + y.astype(jnp.float32)
         o_ref[...] = out.astype(x.dtype).reshape(o_ref.shape)
@@ -307,8 +314,149 @@ def make_whole_padded(ips, n_pad=200, n_real=N):
                 pl.BlockSpec((1, DIM), lambda i: (0, 0)),
             ],
             out_specs=batch_spec,
+            compiler_params=_CP,
         )(xp, wqkv, wout, row(ln1s), row(ln1b), row(ln2s), row(ln2b),
           w1, row(b1), w2, row(b2))
+
+    return fn
+
+
+def make_whole_padded_tiled(ips, ht, n_pad=200, n_real=N):
+    """Padded whole-layer with FF weights streamed in hidden tiles
+    (grid axis 1) — lets ips grow past what resident FF weights allow."""
+    n_t = MLP // ht
+
+    def kernel(x_ref, wqkv_ref, wout_ref, ln1s_ref, ln1b_ref, ln2s_ref,
+               ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               y_scr, h_scr, acc_scr):
+        t = pl.program_id(1)
+        rows = ips * n_pad
+
+        @pl.when(t == 0)
+        def _attn_phase():
+            x = x_ref[...].reshape(rows, DIM)
+            ln1 = _ln(x, ln1s_ref[0], ln1b_ref[0]).astype(x.dtype)
+            qkv = jnp.dot(ln1, wqkv_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+            key_bias = jnp.where(col < n_real, 0.0, -jnp.inf).astype(jnp.float32)
+            outs = []
+            for j in range(ips):
+                sl = slice(j * n_pad, (j + 1) * n_pad)
+                sub = []
+                for h in range(H):
+                    q = qkv[sl, h * D:(h + 1) * D]
+                    k = qkv[sl, DIM + h * D: DIM + (h + 1) * D]
+                    v = qkv[sl, 2 * DIM + h * D: 2 * DIM + (h + 1) * D]
+                    logits = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                    ) * SCALE + key_bias
+                    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+                    p = jnp.exp(logits)
+                    p = p / jnp.sum(p, axis=-1, keepdims=True)
+                    sub.append(jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32).astype(x.dtype))
+                outs.append(jnp.concatenate(sub, axis=-1))
+            merged = outs[0] if ips == 1 else jnp.concatenate(outs, axis=0)
+            att = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32)
+            y = (att + x.astype(jnp.float32)).astype(x.dtype)
+            y_scr[...] = y
+            h_scr[...] = _ln(y, ln2s_ref[0], ln2b_ref[0]).astype(x.dtype)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        hidden = jnp.dot(h_scr[...], w1_ref[...], preferred_element_type=jnp.float32)
+        hidden = jax.nn.gelu((hidden + b1_ref[0].astype(jnp.float32)).astype(h_scr.dtype), approximate=True)
+        acc_scr[...] += jnp.dot(hidden, w2_ref[...], preferred_element_type=jnp.float32)
+
+        @pl.when(t == n_t - 1)
+        def _finish():
+            out = acc_scr[...] + b2_ref[0].astype(jnp.float32) + y_scr[...].astype(jnp.float32)
+            o_ref[...] = out.astype(y_scr.dtype).reshape(o_ref.shape)
+
+    def fn(xp, wqkv, wout, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2):
+        row = lambda t: t.reshape(1, -1)
+        batch_spec = pl.BlockSpec((ips, n_pad, DIM), lambda i, t: (i, 0, 0))
+        const = lambda shape: pl.BlockSpec(shape, lambda i, t: tuple(0 for _ in shape))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+            grid=(B // ips, n_t),
+            in_specs=[
+                batch_spec,
+                const((DIM, 3 * DIM)),
+                const((DIM, DIM)),
+                const((1, DIM)), const((1, DIM)), const((1, DIM)), const((1, DIM)),
+                pl.BlockSpec((DIM, ht), lambda i, t: (0, t)),
+                pl.BlockSpec((1, ht), lambda i, t: (0, t)),
+                pl.BlockSpec((ht, DIM), lambda i, t: (t, 0)),
+                const((1, DIM)),
+            ],
+            out_specs=batch_spec,
+            compiler_params=_CP,
+            scratch_shapes=[
+                pltpu.VMEM((ips * n_pad, DIM), jnp.bfloat16),
+                pltpu.VMEM((ips * n_pad, DIM), jnp.bfloat16),
+                pltpu.VMEM((ips * n_pad, DIM), jnp.float32),
+            ],
+        )(xp, wqkv, wout, row(ln1s), row(ln1b), row(ln2s), row(ln2b),
+          w1, row(b1), w2, row(b2))
+
+    return fn
+
+
+def make_attn_padded(ips, n_pad=200, n_real=N):
+    """Attention block only (padded, key-masked) — pair with XLA FF to
+    isolate the M-efficiency gain on the projections."""
+
+    def kernel(x_ref, wqkv_ref, wout_ref, ln1s_ref, ln1b_ref, o_ref):
+        rows = ips * n_pad
+        x = x_ref[...].reshape(rows, DIM)
+        ln1 = _ln(x, ln1s_ref[0], ln1b_ref[0]).astype(x.dtype)
+        qkv = jnp.dot(ln1, wqkv_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+        key_bias = jnp.where(col < n_real, 0.0, -jnp.inf).astype(jnp.float32)
+        outs = []
+        for j in range(ips):
+            sl = slice(j * n_pad, (j + 1) * n_pad)
+            sub = []
+            for h in range(H):
+                q = qkv[sl, h * D:(h + 1) * D]
+                k = qkv[sl, DIM + h * D: DIM + (h + 1) * D]
+                v = qkv[sl, 2 * DIM + h * D: 2 * DIM + (h + 1) * D]
+                logits = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                ) * SCALE + key_bias
+                logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+                p = jnp.exp(logits)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                sub.append(jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32).astype(x.dtype))
+            outs.append(jnp.concatenate(sub, axis=-1))
+        merged = outs[0] if ips == 1 else jnp.concatenate(outs, axis=0)
+        att = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32)
+        o_ref[...] = (att + x.astype(jnp.float32)).astype(x.dtype).reshape(o_ref.shape)
+
+    def attn(xp, wqkv, wout, ln1s, ln1b):
+        row = lambda t: t.reshape(1, -1)
+        batch_spec = pl.BlockSpec((ips, n_pad, DIM), lambda i: (i, 0, 0))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+            grid=(B // ips,),
+            in_specs=[
+                batch_spec,
+                pl.BlockSpec((DIM, 3 * DIM), lambda i: (0, 0)),
+                pl.BlockSpec((DIM, DIM), lambda i: (0, 0)),
+                pl.BlockSpec((1, DIM), lambda i: (0, 0)),
+                pl.BlockSpec((1, DIM), lambda i: (0, 0)),
+            ],
+            out_specs=batch_spec,
+            compiler_params=_CP,
+        )(xp, wqkv, wout, row(ln1s), row(ln1b))
+
+    def fn(xp, wqkv, wout, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2):
+        y = attn(xp, wqkv, wout, ln1s, ln1b)
+        h = _ln(y, ln2s, ln2b).astype(xp.dtype)
+        h = h @ w1 + b1
+        h = jax.nn.gelu(h, approximate=True)
+        return (h @ w2 + b2 + y.astype(jnp.float32)).astype(xp.dtype)
 
     return fn
 
@@ -335,19 +483,29 @@ def main():
     ref = baseline_pair(*args)
 
     for name, fn in [
-        ("whole resident ips=1", make_whole_resident(1)),
         ("whole resident ips=2", make_whole_resident(2)),
-        ("whole resident ips=1 batched-heads", make_whole_resident(1, batched_heads=True)),
-        ("whole resident ips=2 batched-heads", make_whole_resident(2, batched_heads=True)),
-        ("whole tiled ht=768 ips=1", make_whole_tiled(1, 768)),
-        ("whole tiled ht=1024 ips=1", make_whole_tiled(1, 1024)),
-        ("whole tiled ht=768 ips=2", make_whole_tiled(2, 768)),
-        ("whole tiled ht=1024 ips=2", make_whole_tiled(2, 1024)),
-        ("whole tiled ht=1536 ips=2", make_whole_tiled(2, 1536)),
     ]:
         t = timeit(name, fn, *args)
         if t is not None:
             out = fn(*args)
+            err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+            rel = err / float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+            print(f"{'':52s} max|Δ|={err:.4f} (rel {rel:.4f}) vs baseline")
+
+    # ---- padded variants: x padded once to n=200 for the whole stack ----
+    NP = 200
+    xp = jnp.pad(x, ((0, 0), (0, NP - N), (0, 0)))
+    pargs = (xp,) + args[1:]
+    for name, fn in [
+        ("padded resident ips=4", make_whole_padded(4, NP)),
+        ("padded resident ips=8", make_whole_padded(8, NP)),
+        ("padded resident ips=16", make_whole_padded(16, NP)),
+        ("padded tiled ht=768 ips=8", make_whole_padded_tiled(8, 768, NP)),
+        ("padded attn-only ips=8 + XLA FF", make_attn_padded(8, NP)),
+    ]:
+        t = timeit(name, fn, *pargs)
+        if t is not None:
+            out = fn(*pargs)[:, :N]
             err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
             rel = err / float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
             print(f"{'':52s} max|Δ|={err:.4f} (rel {rel:.4f}) vs baseline")

@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.attention import dot_product_attention, on_tpu
-from ..ops.fused_block import fused_attention_block, fused_block_supported
+from ..ops.fused_block import (
+    fused_attention_block,
+    fused_block_supported,
+    fused_dropout_supported,
+    fused_transformer_layer,
+    whole_layer_supported,
+)
 from ..utils.helpers import default, exists
 
 # torch parity defaults
@@ -73,7 +79,14 @@ def fused_block_eligible(
         and not has_bias
         and not has_segments
         and not record
-        and (dropout == 0.0 or not train)
+        # train-time dropout runs INSIDE the kernel (TPU PRNG, both
+        # reference sites) when the Pallas backward fits VMEM — the
+        # XLA-composite fallback can't replay the in-kernel masks
+        and (
+            dropout == 0.0
+            or not train
+            or fused_dropout_supported(x_shape, heads, dim_head)
+        )
         and project_out
         and len(x_shape) == 3
         and fused_block_supported(x_shape, x_dtype, heads, dim_head, dim)
@@ -120,6 +133,44 @@ class _DenseParams(nn.Module):
             else None
         )
         return kernel, bias
+
+
+class _AttnBlockParams(nn.Module):
+    """Parameter tree identical to ``Attention``'s fused subset
+    (norm/to_qkv/to_out) — lets ``Transformer`` feed the whole-layer kernel
+    while converted checkpoints keep loading into the same paths."""
+
+    dim: int
+    inner: int
+    qkv_bias: bool
+    out_bias: bool
+    norm_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        ln_s, ln_b = _LNParams(self.dim, use_bias=self.norm_bias, name="norm")()
+        w_qkv, b_qkv = _DenseParams(
+            self.inner * 3, self.dim, use_bias=self.qkv_bias, name="to_qkv"
+        )()
+        w_out, b_out = _DenseParams(
+            self.dim, self.inner, use_bias=self.out_bias, name="to_out"
+        )()
+        return ln_s, ln_b, w_qkv, b_qkv, w_out, b_out
+
+
+class _FFBlockParams(nn.Module):
+    """Parameter tree identical to ``FeedForward``'s (norm/fc1/fc2)."""
+
+    dim: int
+    hidden: int
+    norm_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        ln_s, ln_b = _LNParams(self.dim, use_bias=self.norm_bias, name="norm")()
+        w1, b1 = _DenseParams(self.hidden, self.dim, name="fc1")()
+        w2, b2 = _DenseParams(self.dim, self.hidden, name="fc2")()
+        return ln_s, ln_b, w1, b1, w2, b2
 
 
 class LayerNorm(nn.Module):
@@ -325,6 +376,14 @@ class Attention(nn.Module):
             cast = lambda w: None if w is None else w.astype(x.dtype)
             if ln_bias is None:
                 ln_bias = jnp.zeros((self.dim,), x.dtype)
+            rate = self.dropout if train else 0.0
+            seed = None
+            if rate > 0.0:
+                # same rng collection the XLA path's nn.Dropout draws from;
+                # folded to an int32 seed for the in-kernel TPU PRNG
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                )
             # residual=None rides through as a no-op (no zeros streamed)
             return fused_attention_block(
                 x,
@@ -339,6 +398,8 @@ class Attention(nn.Module):
                 b_out=cast(b_out),
                 scale=self.scale,
                 eps=LN_EPS,
+                dropout_rate=rate,
+                dropout_seed=seed,
             )
 
         if self.pre_norm:
@@ -510,6 +571,22 @@ class Transformer(nn.Module):
             train=train,
         )
 
+        # whole-LAYER kernel (attn block + FF in one Pallas call): inference
+        # fast path — measured 2.71 vs 2.85 ms/layer for the two-step pair
+        # on v5e ViT-B (the y and GELU-hidden HBM round-trips disappear;
+        # docs/PERF_NOTES.md round 3).  Differentiable (decomposed
+        # custom_vjp saving only x), but train-time dropout sites live in
+        # the two-step path, so dropout>0+train falls back.
+        whole_layer = (
+            attn_will_fuse
+            and (self.dropout == 0.0 or not train)
+            and not self.ff_glu
+            and self.ff_activation == "gelu"
+            and whole_layer_supported(
+                x.shape, x.dtype, self.heads, self.dim_head, self.dim, self.mlp_dim
+            )
+        )
+
         if self.remat:
             if not attn_will_fuse:
                 attn_call = nn.remat(attn_call)
@@ -517,6 +594,44 @@ class Transformer(nn.Module):
 
         hiddens = []
         for i in range(self.depth):
+            if whole_layer:
+                ln1s, ln1b, w_qkv, b_qkv, w_out, b_out = _AttnBlockParams(
+                    dim=self.dim,
+                    inner=self.heads * self.dim_head,
+                    qkv_bias=self.qkv_bias,
+                    out_bias=self.attn_out_bias,
+                    norm_bias=self.norm_bias,
+                    name=f"layers_{i}_attn",
+                )()
+                ln2s, ln2b, w1, b1, w2, b2 = _FFBlockParams(
+                    dim=self.dim,
+                    hidden=self.mlp_dim,
+                    norm_bias=self.norm_bias,
+                    name=f"layers_{i}_ff",
+                )()
+                cast = lambda w: None if w is None else w.astype(x.dtype)
+                zeros = jnp.zeros((self.dim,), x.dtype)
+                x = fused_transformer_layer(
+                    x,
+                    cast(w_qkv),
+                    cast(w_out),
+                    cast(ln1s),
+                    cast(ln1b) if ln1b is not None else zeros,
+                    cast(ln2s),
+                    cast(ln2b) if ln2b is not None else zeros,
+                    cast(w1),
+                    cast(b1),
+                    cast(w2),
+                    cast(b2),
+                    heads=self.heads,
+                    dim_head=self.dim_head,
+                    b_qkv=cast(b_qkv),
+                    b_out=cast(b_out),
+                    eps=LN_EPS,
+                )
+                if return_hiddens:
+                    hiddens.append(x)
+                continue
             attn = Attention(
                 dim=self.dim,
                 heads=self.heads,

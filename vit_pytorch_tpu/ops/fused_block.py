@@ -32,7 +32,9 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # VMEM is ~16 MB/core; stay well under it (weights + activations + double
 # buffering).  Estimated in _vmem_bytes below.
@@ -80,6 +82,100 @@ def _vmem_bytes_bwd(n: int, dim: int, inner: int, itemsize: int) -> int:
 _VMEM_LIMIT_BWD = 16 * 1024 * 1024
 
 
+def _kernel_dot_precision(dtype):
+    """Precision for MXU dots INSIDE the Pallas kernels.
+
+    bf16 operands must contract at DEFAULT precision: the global
+    ``jax_default_matmul_precision="highest"`` (set by the CPU parity test
+    harness, tests/conftest.py) otherwise reaches into the kernel and asks
+    Mosaic for an fp32-contraction of bf16 vectors — rejected with
+    "Bad lhs type".  fp32 operands (CPU interpreter-mode equivalence tests)
+    keep the ambient setting so those tests stay exact."""
+    return None if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
+def _dropout_threshold(rate: float) -> np.uint32:
+    """uint32 threshold t with P(bits < t) == rate for uniform bits."""
+    return np.uint32(min(int(rate * 2**32), 2**32 - 1))
+
+
+def _pad_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _keep_bits(n: int, m: int, rate: float):
+    """Tile-aligned random keep mask, sliced to (n, m).  Mosaic rejects
+    PRNG bit tensors at unaligned shapes feeding the MXU ("Invalid vector
+    register cast" at n=197) — generating at the (8, 128) tile grain and
+    slicing keeps the layout canonical AND makes the bit stream a function
+    of the padded shape only (identical between forward, backward, and the
+    replay kernel)."""
+    np_, mp_ = _pad_up(n, 8), _pad_up(m, 128)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((np_, mp_)), jnp.uint32)
+    return (bits >= _dropout_threshold(rate))[:n, :m]
+
+
+def _attn_keep(seed, img, head, n: int, m: int, rate: float):
+    """Per-(image, head) attention-matrix keep mask.  Seeding is
+    (seed, img·1024 + head) — the TPU PRNG accepts at most two seed
+    values — so the backward kernel, which always runs one image per grid
+    step, regenerates the identical mask regardless of the forward's
+    images-per-step packing.  Shared by the mask-replay kernel used in the
+    TPU equivalence test."""
+    pltpu.prng_seed(seed, img * 1024 + head)
+    return _keep_bits(n, m, rate)
+
+
+def _out_keep(seed, img, n: int, dim: int, rate: float, heads: int):
+    """Per-image keep mask for the post-projection dropout (reference
+    vit.py:47-49 Dropout after to_out).  Head index ``heads`` (one past the
+    last attention head) keeps the stream disjoint from attention masks."""
+    pltpu.prng_seed(seed, img * 1024 + heads)
+    return _keep_bits(n, dim, rate)
+
+
+def dropout_masks(seed, b: int, n: int, dim: int, heads: int, rate: float):
+    """Replay the fused kernel's dropout keep-masks on the TPU PRNG
+    (equivalence testing: compose these with the XLA reference and compare
+    against the kernel with the same seed).  Returns
+    ``(attn_keep (b, heads, n, n), out_keep (b, n, dim))`` as int32 0/1.
+
+    Each mask re-seeds the PRNG with its own (seed, img, head) tuple —
+    exactly like ``_attn_keep`` / ``_out_keep`` inside the kernels — so
+    generation order is irrelevant."""
+
+    def kernel(seed_ref, akeep_ref, okeep_ref):
+        i = pl.program_id(0)
+        for h in range(heads):
+            akeep_ref[0, h] = _attn_keep(seed_ref[0, 0], i, h, n, n, rate).astype(
+                jnp.int32
+            )
+        okeep_ref[0] = _out_keep(seed_ref[0, 0], i, n, dim, rate, heads).astype(
+            jnp.int32
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, heads, n, n), jnp.int32),
+            jax.ShapeDtypeStruct((b, n, dim), jnp.int32),
+        ),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec((1, heads, n, n), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+        ),
+    )(jnp.asarray(seed, jnp.int32).reshape(1, 1))
+
+
+def fused_dropout_supported(x_shape, heads: int, dim_head: int) -> bool:
+    """Kernel-tier dropout needs the Pallas backward (the XLA-composite
+    fallback cannot replay the in-kernel PRNG masks), so train-time
+    dropout>0 is fused only when the backward's working set fits VMEM."""
+    return _bwd_fits_vmem(x_shape, heads, dim_head)
+
+
 def fused_block_supported(
     x_shape, dtype, heads: int, dim_head: int, dim: int
 ) -> bool:
@@ -118,7 +214,12 @@ def _kernel(
     with_bout: bool,
     with_res: bool,
     imgs_per_step: int = 1,
+    dropout_rate: float = 0.0,
 ):
+    if dropout_rate > 0.0:
+        seed_ref, *refs = refs
+    else:
+        seed_ref = None
     if with_res:
         (x_ref, res_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, lns_ref,
          lnb_ref, o_ref) = refs
@@ -142,14 +243,16 @@ def _kernel(
     ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
     ln = ln.astype(x.dtype)
 
-    qkv = jnp.dot(ln, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = jnp.dot(ln, wqkv_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype))
     if with_bqkv:
         qkv = qkv + bqkv_ref[0].astype(jnp.float32)
     qkv = qkv.astype(x.dtype)  # (imgs*n, 3*inner)
 
     inner = heads * dim_head
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
     img_outs = []
     for j in range(imgs_per_step):
+        img = pl.program_id(0) * imgs_per_step + j
         rows = slice(j * n, (j + 1) * n)
         outs = []
         for h in range(heads):
@@ -158,14 +261,17 @@ def _kernel(
             v = qkv[rows, 2 * inner + h * dim_head : 2 * inner + (h + 1) * dim_head]
             logits = (
                 jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
                 )
                 * scale
             )
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
+            if dropout_rate > 0.0:
+                keep = _attn_keep(seed_ref[0, 0], img, h, n, n, dropout_rate)
+                p = jnp.where(keep, p, 0.0) * inv_keep
+            o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype))
             outs.append(o.astype(x.dtype))
         img_outs.append(jnp.concatenate(outs, axis=-1))  # (n, inner)
     merged = (
@@ -174,9 +280,21 @@ def _kernel(
         else jnp.concatenate(img_outs, axis=0)
     )  # (imgs*n, inner)
 
-    out = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32)
+    out = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype))
     if with_bout:
         out = out + bout_ref[0].astype(jnp.float32)
+    if dropout_rate > 0.0:
+        # reference vit.py:47-49 — a second Dropout after the out projection.
+        # Float multipliers, NOT booleans: Mosaic rejects a concatenate of
+        # sliced i1 masks feeding the vector unit ("Invalid vector register
+        # cast"); float masks concatenate fine.
+        ks = []
+        for j in range(imgs_per_step):
+            img = pl.program_id(0) * imgs_per_step + j
+            keep = _out_keep(seed_ref[0, 0], img, n, out.shape[-1], dropout_rate, heads)
+            ks.append(keep.astype(jnp.float32) * inv_keep)
+        omask = ks[0] if imgs_per_step == 1 else jnp.concatenate(ks, axis=0)
+        out = out * omask
     if with_res:
         out = out + res_ref[...].reshape(imgs_per_step * n, -1).astype(jnp.float32)
     o_ref[...] = out.astype(x.dtype).reshape(o_ref.shape)
@@ -214,7 +332,8 @@ def _xla_reference(
 
 
 def _pallas_forward(
-    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, *, heads, dim_head, scale, eps, interpret=False
+    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed=None,
+    *, heads, dim_head, scale, eps, dropout_rate=0.0, interpret=False
 ):
     b, n, dim = x.shape
     inner = heads * dim_head
@@ -252,10 +371,18 @@ def _pallas_forward(
         with_bout=with_bout,
         with_res=with_res,
         imgs_per_step=ips,
+        dropout_rate=dropout_rate,
     )
+    in_specs = []
+    operands = []
+    if dropout_rate > 0.0:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        operands.append(jnp.asarray(seed, jnp.int32).reshape(1, 1))
     batch_spec = pl.BlockSpec((ips, n, dim), lambda i: (i, 0, 0))
-    in_specs = [batch_spec]
-    operands = [x]
+    in_specs.append(batch_spec)
+    operands.append(x)
     if with_res:
         in_specs.append(batch_spec)
         operands.append(residual)
@@ -286,25 +413,13 @@ def _pallas_forward(
 
 
 def _bwd_kernel(
-    x_ref,
-    g_ref,
-    wqkv_ref,
-    bqkv_ref,
-    wout_ref,
-    lns_ref,
-    lnb_ref,
-    dx_ref,
-    h_ref,
-    dqkv_ref,
-    m_ref,
-    dgamma_ref,
-    dbeta_ref,
-    *,
+    *refs,
     heads: int,
     dim_head: int,
     scale: float,
     eps: float,
     with_bqkv: bool,
+    dropout_rate: float = 0.0,
 ):
     """Backward of the fused block, per batch element.
 
@@ -313,10 +428,31 @@ def _bwd_kernel(
     tensors (h, dqkv, m) that the wrapper contracts into dW_qkv / dW_out
     with two large XLA GEMMs over the whole batch (M=dim, K=b·n — far more
     MXU-efficient than accumulating rank-n updates per step, and the f32
-    dW accumulators would not fit VMEM next to the weights)."""
+    dW accumulators would not fit VMEM next to the weights).
+
+    With dropout, the identical masks are regenerated from (seed, img, head)
+    seeding — one image per grid step, so img == program_id(0) — and an
+    extra output ``gm`` (the out-projection gradient AFTER the output
+    dropout mask) is emitted for the dW_out/db_out contractions."""
+    if dropout_rate > 0.0:
+        (seed_ref, x_ref, g_ref, wqkv_ref, bqkv_ref, wout_ref, lns_ref,
+         lnb_ref, dx_ref, h_ref, dqkv_ref, m_ref, dgamma_ref, dbeta_ref,
+         gm_ref) = refs
+    else:
+        (x_ref, g_ref, wqkv_ref, bqkv_ref, wout_ref, lns_ref, lnb_ref,
+         dx_ref, h_ref, dqkv_ref, m_ref, dgamma_ref, dbeta_ref) = refs
+        seed_ref = gm_ref = None
     i = pl.program_id(0)
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
     x = x_ref[0]
     g = g_ref[0].astype(jnp.float32)
+    if dropout_rate > 0.0:
+        # d(out)/d(proj) rides through the output-dropout mask first
+        okeep = _out_keep(
+            seed_ref[0, 0], i, x.shape[0], g.shape[-1], dropout_rate, heads
+        )
+        g = jnp.where(okeep, g, 0.0) * inv_keep
+        gm_ref[0] = g.astype(x.dtype)
 
     # --- recompute forward (same dtype path as _kernel) ---
     xf = x.astype(jnp.float32)
@@ -330,7 +466,7 @@ def _bwd_kernel(
     h = h.astype(x.dtype)
     h_ref[0] = h
 
-    qkv_f32 = jnp.dot(h, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv_f32 = jnp.dot(h, wqkv_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype))
     if with_bqkv:
         qkv_f32 = qkv_f32 + bqkv_ref[0].astype(jnp.float32)
     qkv = qkv_f32.astype(x.dtype)
@@ -341,7 +477,7 @@ def _bwd_kernel(
         g.astype(x.dtype),
         wout_ref[...],
         (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype),
     )
 
     dqs, dks, dvs, outs = [], [], [], []
@@ -351,33 +487,41 @@ def _bwd_kernel(
         v = qkv[:, 2 * inner + hh * dim_head : 2 * inner + (hh + 1) * dim_head]
         logits = (
             jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
             )
             * scale
         )
         logits = logits - jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        pb = p.astype(x.dtype)
+        if dropout_rate > 0.0:
+            keep = _attn_keep(seed_ref[0, 0], i, hh, p.shape[0], p.shape[1], dropout_rate)
+            pd = jnp.where(keep, p, 0.0) * inv_keep
+        else:
+            keep = None
+            pd = p
+        pb = pd.astype(x.dtype)
 
-        outs.append(jnp.dot(pb, v, preferred_element_type=jnp.float32).astype(x.dtype))
+        outs.append(jnp.dot(pb, v, preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)).astype(x.dtype))
 
         dm_h = dm[:, hh * dim_head : (hh + 1) * dim_head].astype(x.dtype)
-        # dv = p^T @ dm_h
+        # dv = pd^T @ dm_h
         dv = jax.lax.dot_general(
-            pb, dm_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pb, dm_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
         )
-        # dp = dm_h @ v^T
+        # dpd = dm_h @ v^T; gradient wrt the PRE-dropout p rides the mask
         dp = jax.lax.dot_general(
-            dm_h, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            dm_h, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
         )
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dp, 0.0) * inv_keep
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         ds = ds.astype(x.dtype)
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)) * scale
         # dk = ds^T @ q
         dk = (
             jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
             )
             * scale
         )
@@ -394,7 +538,7 @@ def _bwd_kernel(
         dqkv.astype(x.dtype),
         wqkv_ref[...],
         (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype),
     )
 
     # LN grads (accumulated across the sequential grid)
@@ -416,11 +560,13 @@ def _bwd_kernel(
 
 
 def _pallas_backward(
-    x, g, w_qkv, b_qkv, w_out, ln_scale, ln_bias, *, heads, dim_head, scale, eps, interpret=False
+    x, g, w_qkv, b_qkv, w_out, ln_scale, ln_bias, seed=None,
+    *, heads, dim_head, scale, eps, dropout_rate=0.0, interpret=False
 ):
     b, n, dim = x.shape
     inner = heads * dim_head
     with_bqkv = b_qkv is not None
+    with_dropout = dropout_rate > 0.0
     bqkv_arr = (b_qkv if with_bqkv else jnp.zeros((3 * inner,), x.dtype)).reshape(1, -1)
 
     kern = functools.partial(
@@ -430,37 +576,54 @@ def _pallas_backward(
         scale=scale,
         eps=eps,
         with_bqkv=with_bqkv,
+        dropout_rate=dropout_rate,
     )
-    dx, h, dqkv, m, dgamma, dbeta = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, dim), x.dtype),       # dx (LN path)
+        jax.ShapeDtypeStruct((b, n, dim), x.dtype),       # h
+        jax.ShapeDtypeStruct((b, n, 3 * inner), x.dtype), # dqkv
+        jax.ShapeDtypeStruct((b, n, inner), x.dtype),     # m
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dgamma
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dbeta
+    ]
+    out_specs = [
+        pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, n, 3 * inner), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, n, inner), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, dim), lambda i: (0, 0)),
+        pl.BlockSpec((1, dim), lambda i: (0, 0)),
+    ]
+    in_specs = [
+        pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((dim, 3 * inner), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * inner), lambda i: (0, 0)),
+        pl.BlockSpec((inner, dim), lambda i: (0, 0)),
+        pl.BlockSpec((1, dim), lambda i: (0, 0)),
+        pl.BlockSpec((1, dim), lambda i: (0, 0)),
+    ]
+    operands = [x, g, w_qkv, bqkv_arr, w_out, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1)]
+    if with_dropout:
+        in_specs.insert(0, pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
+        operands.insert(0, jnp.asarray(seed, jnp.int32).reshape(1, 1))
+        # gm: out-projection gradient after the output-dropout mask
+        out_shape.append(jax.ShapeDtypeStruct((b, n, dim), x.dtype))
+        out_specs.append(pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)))
+
+    results = pl.pallas_call(
         kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n, dim), x.dtype),       # dx (LN path)
-            jax.ShapeDtypeStruct((b, n, dim), x.dtype),       # h
-            jax.ShapeDtypeStruct((b, n, 3 * inner), x.dtype), # dqkv
-            jax.ShapeDtypeStruct((b, n, inner), x.dtype),     # m
-            jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dgamma
-            jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dbeta
-        ),
+        out_shape=tuple(out_shape),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((dim, 3 * inner), lambda i: (0, 0)),
-            pl.BlockSpec((1, 3 * inner), lambda i: (0, 0)),
-            pl.BlockSpec((inner, dim), lambda i: (0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n, 3 * inner), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n, inner), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         interpret=interpret,
-    )(x, g, w_qkv, bqkv_arr, w_out, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1))
+    )(*operands)
+    if with_dropout:
+        dx, h, dqkv, m, dgamma, dbeta, gm = results
+    else:
+        dx, h, dqkv, m, dgamma, dbeta = results
+        gm = None
 
     # weight grads as two large XLA GEMMs over the flattened batch
     hf = h.reshape(b * n, dim)
@@ -468,30 +631,34 @@ def _pallas_backward(
     dW_qkv = jax.lax.dot_general(
         hf, dqkvf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    # out = m @ W_out  =>  dW_out = m^T @ g
+    # out = m @ W_out  =>  dW_out = m^T @ g  (g AFTER the output-dropout
+    # mask when dropout is on)
     mf = m.reshape(b * n, inner)
-    gf = g.reshape(b * n, dim).astype(mf.dtype)
+    g_for_w = gm if with_dropout else g
+    gf = g_for_w.reshape(b * n, dim).astype(mf.dtype)
     dW_out = jax.lax.dot_general(
         mf, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     db_qkv = jnp.sum(dqkvf.astype(jnp.float32), axis=0) if with_bqkv else None
-    return dx, dW_qkv, db_qkv, dW_out, dgamma[0], dbeta[0]
+    return dx, dW_qkv, db_qkv, dW_out, dgamma[0], dbeta[0], gm
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def _fused(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, heads, dim_head, scale, eps, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def _fused(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed, heads, dim_head, scale, eps, interpret, dropout_rate):
     return _pallas_forward(
-        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
-        heads=heads, dim_head=dim_head, scale=scale, eps=eps, interpret=interpret,
+        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed,
+        heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+        dropout_rate=dropout_rate, interpret=interpret,
     )
 
 
-def _fused_fwd(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, heads, dim_head, scale, eps, interpret):
+def _fused_fwd(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed, heads, dim_head, scale, eps, interpret, dropout_rate):
     out = _pallas_forward(
-        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
-        heads=heads, dim_head=dim_head, scale=scale, eps=eps, interpret=interpret,
+        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed,
+        heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+        dropout_rate=dropout_rate, interpret=interpret,
     )
-    return out, (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias)
+    return out, (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed)
 
 
 def _bwd_fits_vmem(x_shape, heads: int, dim_head: int) -> bool:
@@ -499,14 +666,18 @@ def _bwd_fits_vmem(x_shape, heads: int, dim_head: int) -> bool:
     return _vmem_bytes_bwd(n, dim, heads * dim_head, 2) <= _VMEM_LIMIT_BWD
 
 
-def _fused_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
-    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias = residuals
+def _fused_bwd(heads, dim_head, scale, eps, interpret, dropout_rate, residuals, g):
+    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed = residuals
+    seed_ct = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
 
-    if not _bwd_fits_vmem(x.shape, heads, dim_head):
+    if dropout_rate == 0.0 and not _bwd_fits_vmem(x.shape, heads, dim_head):
         # the Pallas backward's working set (~2x the forward's) would not
         # fit VMEM at this shape — differentiate the XLA composite instead.
         # Still recompute-from-x (only x was saved), so memory behavior
-        # matches; just slower than the in-VMEM kernel.
+        # matches; just slower than the in-VMEM kernel.  (With dropout the
+        # composite cannot replay the in-kernel PRNG masks; eligibility
+        # gates dropout>0 on fused_dropout_supported, so this path is
+        # rate-0 only.)
         all_args = (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias)
         present = [a is not None for a in all_args]
         live = [a for a in all_args if a is not None]
@@ -520,9 +691,9 @@ def _fused_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
 
         _, vjp = jax.vjp(composite, *live)
         grads = iter(vjp(g))
-        return tuple(next(grads) if p else None for p in present)
+        return tuple(next(grads) if p else None for p in present) + (seed_ct,)
 
-    dx, dW_qkv, db_qkv, dW_out, dgamma, dbeta = _pallas_backward(
+    dx, dW_qkv, db_qkv, dW_out, dgamma, dbeta, gm = _pallas_backward(
         x,
         g,
         w_qkv,
@@ -530,15 +701,18 @@ def _fused_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
         w_out,
         ln_scale,
         ln_bias,
+        seed,
         heads=heads,
         dim_head=dim_head,
         scale=scale,
         eps=eps,
+        dropout_rate=dropout_rate,
         interpret=interpret,
     )
     d_residual = g if residual is not None else None
+    g_for_bias = gm if dropout_rate > 0.0 else g
     db_out = (
-        jnp.sum(g.astype(jnp.float32), axis=(0, 1)).astype(b_out.dtype)
+        jnp.sum(g_for_bias.astype(jnp.float32), axis=(0, 1)).astype(b_out.dtype)
         if b_out is not None
         else None
     )
@@ -551,10 +725,331 @@ def _fused_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
         db_out,
         dgamma.astype(ln_scale.dtype),
         dbeta.astype(ln_bias.dtype),
+        seed_ct,
     )
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole transformer LAYER (attn block + FF) in one kernel — inference path.
+#
+# Measured (tools/bench_layer_fused.py, v5e, ViT-B shapes b=128/n=197/d=768):
+# the attn-kernel + XLA-FF pair runs 2.85 ms/layer; one kernel holding the
+# full layer (all weights resident, 2 imgs/grid-step) runs 2.71-2.76 — the
+# y and GELU-hidden HBM round-trips between the halves disappear.  More
+# aggressive schedules are VMEM-blocked: physical VMEM is exactly 16 MB
+# (Mosaic: "Scoped allocation ... limit 16.00M"), so >2 images/step or
+# resident-FF-at-ips-4 exceed it (20.6M), and FF-weight-tile streaming
+# variants measured slower (2.86-2.98).  See docs/PERF_NOTES.md round 3.
+# ---------------------------------------------------------------------------
+
+# naive working-set estimate for the ViT-B config that is PROVEN to compile
+# on hardware (Mosaic reuses buffers, so the naive sum 20.7M exceeds the
+# 16M physical VMEM while the kernel still fits); configs estimating above
+# this calibrated ceiling fall back to the two-step path
+_WHOLE_LAYER_EST_LIMIT = int(20.75 * 1024 * 1024)
+
+
+def _vmem_bytes_whole(n, dim, inner, mlp, itemsize, ips):
+    rows = ips * n
+    weights = (3 * inner * dim + inner * dim + 2 * dim * mlp) * itemsize
+    transients = (
+        rows * (3 * inner + mlp + 3 * dim) * itemsize
+        + rows * dim * 4
+        + 2 * n * n * 4
+    )
+    return weights + transients
+
+
+def whole_layer_supported(
+    x_shape, dtype, heads: int, dim_head: int, dim: int, mlp_dim: int
+) -> bool:
+    """Static eligibility for the single-kernel whole-layer path."""
+    import os
+
+    if os.environ.get("VIT_TPU_DISABLE_FUSED") or os.environ.get(
+        "VIT_TPU_DISABLE_WHOLE_LAYER"
+    ):
+        return False
+    if len(x_shape) != 3 or dtype != jnp.bfloat16:
+        return False
+    b, n, d = x_shape
+    if d != dim:
+        return False
+    inner = heads * dim_head
+    ips = 2 if (b % 2 == 0 and (n % 8 == 0 or n % 8 >= 5) and dim % 128 == 0) else 1
+    if b % ips:
+        return False
+    return _vmem_bytes_whole(n, dim, inner, mlp_dim, 2, ips) <= _WHOLE_LAYER_EST_LIMIT
+
+
+def _layer_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, ln1s_ref, ln1b_ref,
+    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+    *maybe_y_ref,
+    heads: int,
+    dim_head: int,
+    scale: float,
+    eps: float,
+    with_bqkv: bool,
+    with_bout: bool,
+    imgs_per_step: int,
+    emit_y: bool = False,
+):
+    n = x_ref.shape[1]
+    inner = heads * dim_head
+    x = x_ref[...].reshape(imgs_per_step * n, x_ref.shape[2])
+
+    def ln(v, s_ref, b_ref):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(vf - mu), axis=-1, keepdims=True)
+        o = (vf - mu) * jax.lax.rsqrt(var + eps)
+        return (
+            o * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        ).astype(v.dtype)
+
+    # add-chains run in x.dtype (exactly the XLA Dense path: bf16 out +
+    # bf16 bias) — f32 temporaries here pushed the kernel's scoped VMEM to
+    # 19.5M > 16M inside the full model
+    qkv = jnp.dot(ln(x, ln1s_ref, ln1b_ref), wqkv_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)).astype(x.dtype)
+    if with_bqkv:
+        qkv = qkv + bqkv_ref[0]
+
+    img_outs = []
+    for j in range(imgs_per_step):
+        rows = slice(j * n, (j + 1) * n)
+        outs = []
+        for h in range(heads):
+            q = qkv[rows, h * dim_head : (h + 1) * dim_head]
+            k = qkv[rows, inner + h * dim_head : inner + (h + 1) * dim_head]
+            v = qkv[rows, 2 * inner + h * dim_head : 2 * inner + (h + 1) * dim_head]
+            logits = (
+                jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
+                )
+                * scale
+            )
+            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(
+                jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)).astype(x.dtype)
+            )
+        img_outs.append(jnp.concatenate(outs, axis=-1))
+    merged = img_outs[0] if imgs_per_step == 1 else jnp.concatenate(img_outs, axis=0)
+
+    att = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)).astype(x.dtype)
+    if with_bout:
+        att = att + bout_ref[0]
+    y = att + x
+    if emit_y:
+        # training variant: the custom_vjp saves y so the backward needs no
+        # attention-forward recompute (one extra HBM write, grad path only)
+        maybe_y_ref[0][...] = y.reshape(maybe_y_ref[0].shape)
+
+    # FF half: LN2 → fc1 (+b1) → tanh-GELU (the bf16 policy) → fc2 (+b2) → +y
+    h2 = jnp.dot(ln(y, ln2s_ref, ln2b_ref), w1_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)).astype(x.dtype)
+    h2 = jax.nn.gelu(h2 + b1_ref[0], approximate=True)
+    out = jnp.dot(h2, w2_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)).astype(x.dtype)
+    out = out + b2_ref[0] + y
+    o_ref[...] = out.reshape(o_ref.shape)
+
+
+def _layer_pallas_forward(
+    x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2,
+    *, heads, dim_head, scale, eps, interpret=False, emit_y=False
+):
+    b, n, dim = x.shape
+    inner = heads * dim_head
+    mlp = w1.shape[1]
+    with_bqkv = b_qkv is not None
+    with_bout = b_out is not None
+    bqkv_arr = (b_qkv if with_bqkv else jnp.zeros((3 * inner,), x.dtype)).reshape(1, -1)
+    bout_arr = (b_out if with_bout else jnp.zeros((dim,), x.dtype)).reshape(1, -1)
+    ips = 2 if (b % 2 == 0 and (n % 8 == 0 or n % 8 >= 5) and dim % 128 == 0) else 1
+
+    kern = functools.partial(
+        _layer_kernel,
+        heads=heads,
+        dim_head=dim_head,
+        scale=scale,
+        eps=eps,
+        with_bqkv=with_bqkv,
+        with_bout=with_bout,
+        imgs_per_step=ips,
+        emit_y=emit_y,
+    )
+    row = lambda t: t.reshape(1, -1)
+    batch_spec = pl.BlockSpec((ips, n, dim), lambda i: (i, 0, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    # raise this kernel's scoped-VMEM budget: XLA's DEFAULT budget is 16 MB
+    # (xla_tpu_scoped_vmem_limit_kib) — NOT the physical v5e VMEM (128 MB).
+    # The full-model compile charges this call ~19.5 MB (the standalone
+    # compile fit under 16; XLA model-context accounting differs), which is
+    # comfortably real-VMEM-safe.
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    )
+    out_shape = jax.ShapeDtypeStruct((b, n, dim), x.dtype)
+    result = pl.pallas_call(
+        kern,
+        out_shape=(out_shape, out_shape) if emit_y else out_shape,
+        grid=(b // ips,),
+        in_specs=[
+            batch_spec,
+            const((dim, 3 * inner)),
+            const((1, 3 * inner)),
+            const((inner, dim)),
+            const((1, dim)),
+            const((1, dim)),
+            const((1, dim)),
+            const((1, dim)),
+            const((1, dim)),
+            const((dim, mlp)),
+            const((1, mlp)),
+            const((mlp, dim)),
+            const((1, dim)),
+        ],
+        out_specs=(batch_spec, batch_spec) if emit_y else batch_spec,
+        compiler_params=params,
+        interpret=interpret,
+    )(x, w_qkv, bqkv_arr, w_out, bout_arr, row(ln1s), row(ln1b), row(ln2s),
+      row(ln2b), w1, row(b1), w2, row(b2))
+    return result
+
+
+def _ff_reference(y, ln2s, ln2b, w1, b1, w2, b2, *, eps):
+    """XLA composite of the kernel's FF half (same dtype path: dots with
+    fp32 accumulation, add-chains in the IO dtype like nn.Dense)."""
+    yf = y.astype(jnp.float32)
+    mu = yf.mean(-1, keepdims=True)
+    var = yf.var(-1, keepdims=True)
+    h = (yf - mu) * jax.lax.rsqrt(var + eps)
+    h = (h * ln2s.astype(jnp.float32) + ln2b.astype(jnp.float32)).astype(y.dtype)
+    h = jnp.dot(h, w1, preferred_element_type=jnp.float32).astype(y.dtype)
+    h = jax.nn.gelu(h + b1, approximate=True)
+    out = jnp.dot(h, w2, preferred_element_type=jnp.float32).astype(y.dtype)
+    return out + b2 + y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
+def _fused_layer(x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2, heads, dim_head, scale, eps, interpret):
+    return _layer_pallas_forward(
+        x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2,
+        heads=heads, dim_head=dim_head, scale=scale, eps=eps, interpret=interpret,
+    )
+
+
+def _fused_layer_fwd(x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2, heads, dim_head, scale, eps, interpret):
+    # this function only runs UNDER DIFFERENTIATION (the primal above runs
+    # otherwise) — emit y so the backward skips the attention-forward
+    # recompute entirely (one extra HBM write on the grad path only)
+    out, y = _layer_pallas_forward(
+        x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2,
+        heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+        interpret=interpret, emit_y=True,
+    )
+    return out, (x, y, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2)
+
+
+def _fused_layer_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
+    """Decomposed backward: y was saved by the forward; differentiate the
+    XLA FF composite from y, then run the Pallas attention backward with
+    the combined cotangent.  Saves (x, y) between passes — the same two
+    tensors the round-2 path kept (x for the attn custom_vjp, y as the
+    remat'd FF input)."""
+    x, y, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2 = residuals
+
+    _, ff_vjp = jax.vjp(
+        lambda y, ln2s, ln2b, w1, b1, w2, b2: _ff_reference(
+            y, ln2s, ln2b, w1, b1, w2, b2, eps=eps
+        ),
+        y, ln2s, ln2b, w1, b1, w2, b2,
+    )
+    dy, dln2s, dln2b, dW1, db1, dW2, db2 = ff_vjp(g)
+
+    if _bwd_fits_vmem(x.shape, heads, dim_head):
+        dx_ln, dW_qkv, db_qkv, dW_out, dgamma, dbeta, _ = _pallas_backward(
+            x, dy, w_qkv, b_qkv, w_out, ln1s, ln1b,
+            heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+            interpret=interpret,
+        )
+        db_out = (
+            jnp.sum(dy.astype(jnp.float32), axis=(0, 1)).astype(b_out.dtype)
+            if b_out is not None
+            else None
+        )
+        dgamma = dgamma.astype(ln1s.dtype)
+        dbeta = dbeta.astype(ln1b.dtype)
+        dW_qkv = dW_qkv.astype(w_qkv.dtype)
+        dW_out = dW_out.astype(w_out.dtype)
+        db_qkv = db_qkv.astype(b_qkv.dtype) if b_qkv is not None else None
+    else:
+        attn_args = (x, x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b)
+        present = [a is not None for a in attn_args]
+        live = [a for a in attn_args if a is not None]
+
+        def comp(*live_args):
+            it = iter(live_args)
+            full = [next(it) if p else None for p in present]
+            return _xla_reference(
+                *full, heads=heads, dim_head=dim_head, scale=scale, eps=eps
+            )
+
+        _, attn_vjp = jax.vjp(comp, *live)
+        grads = iter(attn_vjp(dy))
+        full = [next(grads) if p else None for p in present]
+        # dres (the residual operand's cotangent) is identically dy, which
+        # the combined-dx line below already adds — don't double count
+        dx_ln, _dres, dW_qkv, db_qkv, dW_out, db_out, dgamma, dbeta = full
+
+    # y = x + attn(x): total dx = LN-path dx + residual-path dy
+    dx = (dx_ln.astype(jnp.float32) + dy.astype(jnp.float32)).astype(x.dtype)
+    return (
+        dx, dW_qkv, db_qkv, dW_out, db_out, dgamma, dbeta,
+        dln2s, dln2b, dW1, db1, dW2, db2,
+    )
+
+
+_fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+def fused_transformer_layer(
+    x,
+    w_qkv,
+    w_out,
+    ln1_scale,
+    ln1_bias,
+    ln2_scale,
+    ln2_bias,
+    w1,
+    b1,
+    w2,
+    b2,
+    *,
+    heads: int,
+    dim_head: int,
+    b_qkv=None,
+    b_out=None,
+    scale: Optional[float] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """One Pallas kernel for x → x + Attn(LN(x)) → · + FF(LN(·)) — the full
+    pre-norm transformer layer (reference vit.py:66-83 loop body).
+    Differentiable via a decomposed custom_vjp (Pallas attention backward +
+    XLA FF vjp); caller gates on :func:`whole_layer_supported`."""
+    if scale is None:
+        scale = dim_head**-0.5
+    return _fused_layer(
+        x, w_qkv, b_qkv, w_out, b_out, ln1_scale, ln1_bias, ln2_scale,
+        ln2_bias, w1, b1, w2, b2, heads, dim_head, float(scale), eps, interpret,
+    )
 
 
 def fused_attention_block(
@@ -571,6 +1066,8 @@ def fused_attention_block(
     b_out=None,
     scale: Optional[float] = None,
     eps: float = 1e-5,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ):
@@ -579,10 +1076,19 @@ def fused_attention_block(
     ``use_pallas=None`` auto-selects: Pallas on TPU when supported, XLA
     composite otherwise (CPU tests, unsupported shapes/dtypes).
     ``interpret=True`` runs the Pallas kernel in interpreter mode (CPU
-    kernel-equivalence tests).
+    kernel-equivalence tests; not available with dropout — the TPU PRNG has
+    no interpreter lowering).
+
+    ``dropout_rate`` > 0 applies train-time dropout INSIDE the kernel via
+    the TPU PRNG at both reference sites (post-softmax matrix, vit.py:60,
+    and after the out projection, vit.py:47-49), deterministically seeded
+    by ``dropout_seed`` so the Pallas backward regenerates identical masks
+    (SURVEY §7.1a "dropout via threaded RNG").
     """
     if scale is None:
         scale = dim_head**-0.5
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
     if use_pallas is None:
         from .attention import on_tpu
 
@@ -590,11 +1096,22 @@ def fused_attention_block(
             x.shape, x.dtype, heads, dim_head, x.shape[-1]
         )
     if not use_pallas and not interpret:
+        if dropout_rate > 0.0:
+            raise ValueError(
+                "kernel-tier dropout has no XLA-composite equivalent (the "
+                "masks live in the TPU PRNG) — gate on fused_block_supported "
+                "+ fused_dropout_supported before requesting it"
+            )
         return _xla_reference(
             x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
             heads=heads, dim_head=dim_head, scale=float(scale), eps=eps,
         )
+    seed = (
+        jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+        if dropout_rate > 0.0
+        else jnp.zeros((1, 1), jnp.int32)
+    )
     return _fused(
-        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
-        heads, dim_head, float(scale), eps, interpret,
+        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed,
+        heads, dim_head, float(scale), eps, interpret, float(dropout_rate),
     )
