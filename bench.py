@@ -81,6 +81,42 @@ def measure_train_step(batch=1024, steps=3):
         params, opt_state, loss = step(params, opt_state, img, labels)
         float(loss)
         best = min(best, time.perf_counter() - t0)
+
+    # per-dispatch timing pays one ~30 ms tunnel round-trip per step; chain
+    # CHAIN steps inside one jit (same methodology as the inference loop) to
+    # measure steady-state device time — what a real training loop sees
+    CHAIN = 3
+
+    @jax.jit
+    def chained(params, opt_state, img, labels):
+        def body(i, carry):
+            p, s, acc = carry
+            im = img * (1.0 + i.astype(img.dtype) * 1e-6)
+            p, s, loss = _step_body(p, s, im, labels)
+            return p, s, acc + loss
+
+        p, s, acc = jax.lax.fori_loop(
+            0, CHAIN, body, (params, opt_state, jnp.float32(0.0))
+        )
+        return acc
+
+    def _step_body(params, opt_state, img, labels):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, img)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    float(chained(params, opt_state, img, labels))
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        float(chained(params, opt_state, img, labels))
+        best = min(best, (time.perf_counter() - t0) / CHAIN)
     return best * 1e3  # ms
 
 
@@ -90,7 +126,10 @@ def main():
     # bs=128 is the measured serving sweet spot on v5e: throughput is flat
     # from 128→512 (2712/2597/2637 img/s) but latency is 4× lower at 128
     batch = 128
-    inner_iters = 10
+    # 30 chained forwards: at 10 the one ~30 ms tunnel dispatch still
+    # inflated the per-step time by ~3 ms (measured 32.2 vs 30.2 ms true
+    # steady-state)
+    inner_iters = 30
     model = ViT(
         image_size=224,
         patch_size=16,
