@@ -62,6 +62,7 @@ def test_dropout_requires_seed():
         )
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(_tpu_device() is None, reason="needs a real TPU chip")
 class TestFusedDropoutTPU:
     B, H, N, D = 8, 4, 197, 64

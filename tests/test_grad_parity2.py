@@ -118,6 +118,7 @@ def _tpu_device():
         return None
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(_tpu_device() is None, reason="needs a real TPU chip")
 def test_fused_vit_model_level_grads_vs_xla_tpu(monkeypatch):
     """bf16 ViT whose attention takes the fused-block custom_vjp — model
@@ -152,6 +153,7 @@ def test_fused_vit_model_level_grads_vs_xla_tpu(monkeypatch):
         assert rel < 0.12, (name, rel)
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(_tpu_device() is None, reason="needs a real TPU chip")
 def test_navit_packed_flash_bwd_vs_xla_tpu():
     """Packed NaViT grads through the segment-masked Pallas flash backward

@@ -152,9 +152,19 @@ def dot_product_attention(
     """
     n, m = q.shape[-2], k.shape[-2]
 
+    # train-time dropout runs INSIDE the flash kernels (TPU PRNG, tile-wise
+    # masks the backward regenerates) — but only without bias (its backward
+    # is an XLA rematerialization that can't replay the masks) and on TPU
+    # (no interpreter lowering for the PRNG)
+    kernel_dropout_ok = (
+        dropout_rate > 0.0
+        and dropout_rng is not None
+        and bias is None
+        and on_tpu()
+    )
     kernel_ok = (
         not return_attn
-        and dropout_rate == 0.0
+        and (dropout_rate == 0.0 or kernel_dropout_ok)
         and mask is None
         and q.shape[-1] <= 256
     )
@@ -173,6 +183,7 @@ def dot_product_attention(
             bias is None
             and q_segment_ids is None
             and not causal
+            and dropout_rate == 0.0
             and m <= 1024
         ):
             # short-sequence fast path: whole kv row in VMEM, one-shot softmax
@@ -182,6 +193,11 @@ def dot_product_attention(
 
         from .flash_attention import flash_attention as _flash
 
+        seed = None
+        if dropout_rate > 0.0:
+            seed = jax.random.randint(
+                dropout_rng, (), 0, 2**31 - 1, dtype=jnp.int32
+            )
         return _flash(
             q,
             k,
@@ -191,6 +207,8 @@ def dot_product_attention(
             q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids,
             causal=causal,
+            dropout_rate=dropout_rate,
+            dropout_seed=seed,
         )
 
     # fold segments / causal into the dense mask for the XLA path

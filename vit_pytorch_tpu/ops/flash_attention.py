@@ -29,6 +29,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,6 +42,20 @@ _LANES = 128
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _tile_keep(seed, tile_id, shape, rate: float):
+    """Per-tile dropout keep mask on the TPU PRNG.  Seeded by
+    (seed, tile_id) where tile_id packs (batch·head, q_tile, kv_tile), so
+    the forward and BOTH backward kernels — whose grids order the tile axes
+    differently — regenerate identical masks, independent of grid
+    iteration order ('parallel' dimension semantics included).  Tile shapes
+    are always (block_q, block_k) = (8,128)-aligned, which Mosaic's PRNG
+    lowering requires."""
+    pltpu.prng_seed(seed, tile_id)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thr = np.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return bits >= thr
 
 
 def _round_up(x, m):
@@ -105,10 +120,11 @@ def _run_guard(body, conds):
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref,
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref,
     o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, scale, causal, block_q, block_k, kv_len, has_bias, has_segs, save_lse,
+    dropout_rate=0.0, nq_tiles=0, nk_tiles=0,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -153,7 +169,17 @@ def _fwd_kernel(
             p = jnp.where(mask, p, 0.0)
 
         alpha = jnp.exp(m_prev - m_new)
+        # the softmax denominator accumulates the UNDROPPED p (dropout
+        # applies to the normalized matrix, reference vit.py:60); only the
+        # value accumulation sees the mask
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        if dropout_rate > 0.0:
+            tid = (pl.program_id(0) * nq_tiles + qi) * nk_tiles + kj
+            keep = _tile_keep(
+                seed_ref[0, 0], tid, (block_q, block_k), dropout_rate
+            )
+            p = jnp.where(keep, p, 0.0)
 
         acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -168,7 +194,8 @@ def _fwd_kernel(
     def _finish():
         l = l_scratch[:]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+        inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+        o_ref[0] = (acc_scratch[:] * (inv_keep / safe_l)).astype(o_ref.dtype)
         if save_lse:
             lse = m_scratch[:] + jnp.log(safe_l)
             lse_ref[0] = jnp.broadcast_to(lse, (block_q, _LANES))
@@ -180,10 +207,11 @@ def _fwd_kernel(
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
     dq_ref,
     dq_scratch,
     *, scale, causal, block_q, block_k, kv_len, has_segs,
+    dropout_rate=0.0, nq_tiles=0, nk_tiles=0,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -223,6 +251,15 @@ def _bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if dropout_rate > 0.0:
+            # d softmax rides the dropout mask; the flash trick
+            # delta = rowsum(dO∘O) REMAINS exact under dropout because
+            # Σ_k dp_k·pd_k = dO·O (O already accumulates the masked pd)
+            tid = (pl.program_id(0) * nq_tiles + qi) * nk_tiles + kj
+            keep = _tile_keep(
+                seed_ref[0, 0], tid, (block_q, block_k), dropout_rate
+            )
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout_rate))
         ds = p * (dp - delta)
 
         dq_scratch[:] = dq_scratch[:] + scale * jax.lax.dot_general(
@@ -238,10 +275,11 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, scale, causal, block_q, block_k, kv_len, has_segs,
+    dropout_rate=0.0, nq_tiles=0, nk_tiles=0,
 ):
     kj = pl.program_id(1)
     qi = pl.program_id(2)
@@ -280,15 +318,28 @@ def _bwd_dkv_kernel(
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
 
-        # dv += p^T @ do
+        if dropout_rate > 0.0:
+            tid = (pl.program_id(0) * nq_tiles + qi) * nk_tiles + kj
+            keep = _tile_keep(
+                seed_ref[0, 0], tid, (block_q, block_k), dropout_rate
+            )
+            inv = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p, 0.0) * inv
+        else:
+            keep = None
+            pd = p
+
+        # dv += pd^T @ do  (the VALUE path sees the dropped matrix)
         dv_scratch[:] = dv_scratch[:] + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if keep is not None:
+            dp = jnp.where(keep, dp, 0.0) * inv
         ds = p * (dp - delta)
 
         # dk += scale * ds^T @ q
@@ -353,6 +404,7 @@ def _seg_specs(h, block_q, block_k, q_axis, k_axis):
 def _flash_forward(
     q, k, v, bias, q_segment_ids, kv_segment_ids,
     scale, causal, block_q, block_k, interpret, save_lse=False,
+    dropout_rate=0.0, dropout_seed=None,
 ):
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -363,13 +415,21 @@ def _flash_forward(
     grid = (bh, n_pad // block_q, m_pad // block_k)
     has_bias = bias is not None
     has_segs = segs is not None
+    with_dropout = dropout_rate > 0.0
 
-    in_specs = [
+    in_specs = []
+    inputs = []
+    if with_dropout:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda g, i, j: (0, 0), memory_space=pltpu.SMEM)
+        )
+        inputs.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1))
+    in_specs += [
         pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
         pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
         pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
     ]
-    inputs = [qp, kp, vp]
+    inputs += [qp, kp, vp]
 
     if has_bias:
         # do NOT broadcast over (b, h) in HBM — a (1, h, n, m) rel-pos bias
@@ -409,10 +469,13 @@ def _flash_forward(
         _fwd_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=m, has_bias=has_bias, has_segs=has_segs, save_lse=save_lse,
+        dropout_rate=dropout_rate,
+        nq_tiles=n_pad // block_q, nk_tiles=m_pad // block_k,
     )
 
     def dispatch(*refs):
         it = iter(refs[: len(in_specs)])
+        seed_r = next(it) if with_dropout else None
         q_r, k_r, v_r = next(it), next(it), next(it)
         b_r = next(it) if has_bias else None
         qs_r = next(it) if has_segs else None
@@ -424,7 +487,7 @@ def _flash_forward(
         else:
             o_r, lse_r = outs[0], None
             scratch = outs[1:]
-        kernel(q_r, k_r, v_r, b_r, qs_r, ks_r, o_r, lse_r, *scratch)
+        kernel(seed_r, q_r, k_r, v_r, b_r, qs_r, ks_r, o_r, lse_r, *scratch)
 
     out_shapes = [jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0))]
@@ -463,6 +526,7 @@ def _flash_forward(
 def _flash_backward(
     q, k, v, q_segment_ids, kv_segment_ids, out, lse_padded, g,
     scale, causal, block_q, block_k, interpret,
+    dropout_rate=0.0, dropout_seed=None,
 ):
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -471,6 +535,7 @@ def _flash_backward(
     )
     bh = b * h
     has_segs = segs is not None
+    with_dropout = dropout_rate > 0.0
 
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, n_pad - n), (0, 0))).reshape(bh, n_pad, d)
 
@@ -482,6 +547,15 @@ def _flash_backward(
     delta = jnp.broadcast_to(delta[:, :, None], (bh, n_pad, _LANES))
 
     common_inputs = [qp, kp, vp, gp, lse_padded, delta]
+    seed_arr = (
+        jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1) if with_dropout else None
+    )
+    seed_spec = pl.BlockSpec((1, 1), lambda g_, i, j: (0, 0), memory_space=pltpu.SMEM)
+    drop_kw = dict(
+        dropout_rate=dropout_rate,
+        nq_tiles=n_pad // block_q,
+        nk_tiles=m_pad // block_k,
+    )
 
     def base_specs(q_axis, k_axis):
         return [
@@ -494,8 +568,8 @@ def _flash_backward(
         ]
 
     # ---- dq: grid (bh, q_tiles, kv_tiles) ----
-    in_specs = base_specs(q_axis=0, k_axis=1)
-    inputs = list(common_inputs)
+    in_specs = ([seed_spec] if with_dropout else []) + base_specs(q_axis=0, k_axis=1)
+    inputs = ([seed_arr] if with_dropout else []) + list(common_inputs)
     if has_segs:
         qspec, kspec = _seg_specs(h, block_q, block_k, q_axis=0, k_axis=1)
         in_specs += [qspec, kspec]
@@ -504,16 +578,17 @@ def _flash_backward(
     dq_kernel = functools.partial(
         _bwd_dq_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        kv_len=m, has_segs=has_segs,
+        kv_len=m, has_segs=has_segs, **drop_kw,
     )
 
     def dq_dispatch(*refs):
         it = iter(refs[: len(in_specs)])
+        seed_r = next(it) if with_dropout else None
         args = [next(it) for _ in range(6)]
         qs_r = next(it) if has_segs else None
         ks_r = next(it) if has_segs else None
         dq_r, scratch = refs[len(in_specs)], refs[len(in_specs) + 1]
-        dq_kernel(*args, qs_r, ks_r, dq_r, scratch)
+        dq_kernel(seed_r, *args, qs_r, ks_r, dq_r, scratch)
 
     dq = pl.pallas_call(
         dq_dispatch,
@@ -529,8 +604,8 @@ def _flash_backward(
     )(*inputs)
 
     # ---- dk/dv: grid (bh, kv_tiles, q_tiles) ----
-    in_specs = base_specs(q_axis=1, k_axis=0)
-    inputs = list(common_inputs)
+    in_specs = ([seed_spec] if with_dropout else []) + base_specs(q_axis=1, k_axis=0)
+    inputs = ([seed_arr] if with_dropout else []) + list(common_inputs)
     if has_segs:
         qspec, kspec = _seg_specs(h, block_q, block_k, q_axis=1, k_axis=0)
         in_specs += [qspec, kspec]
@@ -539,17 +614,18 @@ def _flash_backward(
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        kv_len=m, has_segs=has_segs,
+        kv_len=m, has_segs=has_segs, **drop_kw,
     )
 
     def dkv_dispatch(*refs):
         it = iter(refs[: len(in_specs)])
+        seed_r = next(it) if with_dropout else None
         args = [next(it) for _ in range(6)]
         qs_r = next(it) if has_segs else None
         ks_r = next(it) if has_segs else None
         dk_r, dv_r = refs[len(in_specs)], refs[len(in_specs) + 1]
         dk_s, dv_s = refs[len(in_specs) + 2], refs[len(in_specs) + 3]
-        dkv_kernel(*args, qs_r, ks_r, dk_r, dv_r, dk_s, dv_s)
+        dkv_kernel(seed_r, *args, qs_r, ks_r, dk_r, dv_r, dk_s, dv_s)
 
     dk, dv = pl.pallas_call(
         dkv_dispatch,
@@ -593,49 +669,90 @@ def _reference_attention(q, k, v, bias, q_segment_ids, kv_segment_ids, scale, ca
     return xla_attention(q, k, v, scale=scale, bias=bias, mask=mask)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _flash_attention_core(
-    q, k, v, bias, q_segment_ids, kv_segment_ids, scale, causal, block_q, block_k, interpret
+    q, k, v, bias, q_segment_ids, kv_segment_ids, seed, scale, causal, block_q, block_k, interpret, dropout_rate
 ):
     return _flash_forward(
-        q, k, v, bias, q_segment_ids, kv_segment_ids, scale, causal, block_q, block_k, interpret
+        q, k, v, bias, q_segment_ids, kv_segment_ids, scale, causal, block_q, block_k, interpret,
+        dropout_rate=dropout_rate, dropout_seed=seed,
     )
 
 
-def _fwd(q, k, v, bias, q_segment_ids, kv_segment_ids, scale, causal, block_q, block_k, interpret):
+def _fwd(q, k, v, bias, q_segment_ids, kv_segment_ids, seed, scale, causal, block_q, block_k, interpret, dropout_rate):
     if bias is None:
         out, lse = _flash_forward(
             q, k, v, None, q_segment_ids, kv_segment_ids,
             scale, causal, block_q, block_k, interpret, save_lse=True,
+            dropout_rate=dropout_rate, dropout_seed=seed,
         )
-        return out, (q, k, v, bias, q_segment_ids, kv_segment_ids, out, lse)
+        return out, (q, k, v, bias, q_segment_ids, kv_segment_ids, seed, out, lse)
     out = _flash_forward(
         q, k, v, bias, q_segment_ids, kv_segment_ids,
         scale, causal, block_q, block_k, interpret,
+        dropout_rate=dropout_rate, dropout_seed=seed,
     )
-    return out, (q, k, v, bias, q_segment_ids, kv_segment_ids, None, None)
+    return out, (q, k, v, bias, q_segment_ids, kv_segment_ids, seed, None, None)
 
 
-def _bwd(scale, causal, block_q, block_k, interpret, residuals, g):
-    q, k, v, bias, qs, ks, out, lse = residuals
+def _bwd(scale, causal, block_q, block_k, interpret, dropout_rate, residuals, g):
+    q, k, v, bias, qs, ks, seed, out, lse = residuals
+    seed_ct = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
 
     if bias is None:
         dq, dk, dv = _flash_backward(
-            q, k, v, qs, ks, out, lse, g, scale, causal, block_q, block_k, interpret
+            q, k, v, qs, ks, out, lse, g, scale, causal, block_q, block_k, interpret,
+            dropout_rate=dropout_rate, dropout_seed=seed,
         )
-        return dq, dk, dv, None, None, None
+        return dq, dk, dv, None, None, None, seed_ct
 
-    # bias present: rematerialized XLA backward (small-window models)
+    # bias present: rematerialized XLA backward (small-window models; the
+    # dispatcher never routes bias+dropout here — the XLA composite cannot
+    # replay the kernel PRNG masks)
+    assert dropout_rate == 0.0, "flash dropout is unsupported with bias"
+
     def f(q, k, v, bias):
         return _reference_attention(q, k, v, bias, qs, ks, scale, causal)
 
     # jax.vjp returns the cotangent in the primal's shape — broadcast dims
     # of a (1, h, n, m) bias are already summed by the vjp itself
     dq, dk, dv, dbias = jax.vjp(f, q, k, v, bias)[1](g)
-    return dq, dk, dv, dbias, None, None
+    return dq, dk, dv, dbias, None, None, seed_ct
 
 
 _flash_attention_core.defvjp(_fwd, _bwd)
+
+
+def flash_dropout_masks(
+    seed, b: int, h: int, n: int, m: int, rate: float,
+    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+):
+    """Replay the flash kernels' per-tile dropout keep-masks (TPU only) —
+    equivalence testing: compose with the XLA reference and compare against
+    the kernel with the same seed.  Returns (b, h, n, m) int32 0/1."""
+    # mirror _prep's block shrinking exactly — tile ids must line up
+    bq = min(block_q, _round_up(n, 128))
+    bk = min(block_k, _round_up(m, 128))
+    n_pad = _round_up(n, bq)
+    m_pad = _round_up(m, bk)
+    bh = b * h
+    nq, nk = n_pad // bq, m_pad // bk
+
+    def kernel(seed_ref, o_ref):
+        g = pl.program_id(0)
+        qi = pl.program_id(1)
+        kj = pl.program_id(2)
+        tid = (g * nq + qi) * nk + kj
+        o_ref[0] = _tile_keep(seed_ref[0, 0], tid, (bq, bk), rate).astype(jnp.int32)
+
+    keep = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[pl.BlockSpec((1, 1), lambda g, i, j: (0, 0), memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, bq, bk), lambda g, i, j: (g, i, j)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, m_pad), jnp.int32),
+    )(jnp.asarray(seed, jnp.int32).reshape(1, 1))
+    return keep.reshape(b, h, n_pad, m_pad)[:, :, :n, :m]
 
 
 def flash_attention(
@@ -648,23 +765,46 @@ def flash_attention(
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Flash attention.  q: (b, h, n, d), k/v: (b, h, m, d) → (b, h, n, d)."""
+    """Flash attention.  q: (b, h, n, d), k/v: (b, h, m, d) → (b, h, n, d).
+
+    ``dropout_rate`` > 0 applies train-time dropout to the (normalized)
+    attention matrix INSIDE the kernels via the TPU PRNG seeded per
+    (batch·head, q_tile, kv_tile) — the backward kernels regenerate
+    identical masks (SURVEY §7.1a).  TPU only (no interpreter lowering for
+    the PRNG) and incompatible with ``bias`` (its backward is an XLA
+    rematerialization that cannot replay the masks)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if interpret is None:
         from .attention import on_tpu
 
         interpret = not on_tpu()
+    if dropout_rate > 0.0:
+        if dropout_seed is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seed")
+        if bias is not None:
+            raise ValueError("flash dropout is unsupported with bias")
+        if interpret:
+            raise ValueError(
+                "flash dropout needs the TPU PRNG (no interpreter lowering)"
+            )
     if bias is not None:
         while bias.ndim < 4:
             bias = bias[None]
     if (q_segment_ids is None) != (kv_segment_ids is None):
         raise ValueError("segment ids must be given for both q and kv")
+    seed = (
+        jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+        if dropout_rate > 0.0
+        else jnp.zeros((1, 1), jnp.int32)
+    )
     return _flash_attention_core(
-        q, k, v, bias, q_segment_ids, kv_segment_ids,
-        float(scale), causal, block_q, block_k, interpret,
+        q, k, v, bias, q_segment_ids, kv_segment_ids, seed,
+        float(scale), causal, block_q, block_k, interpret, float(dropout_rate),
     )
