@@ -84,6 +84,37 @@ def test_whole_layer_grads_match_composite():
         )
 
 
+def test_layer_bwd_kernel_matches_decomposed(monkeypatch):
+    """The single-kernel whole-layer backward (in-VMEM dW accumulation,
+    opt-in via VIT_TPU_ENABLE_WHOLE_LAYER_BWD) must agree with the default
+    decomposed backward (XLA FF vjp + Pallas attn bwd) on every operand."""
+    args = _inputs(jnp.float32, qkv_bias=True)
+
+    def loss(*a):
+        x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2 = a
+        out = fused_transformer_layer(
+            x, w_qkv, w_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2,
+            heads=H, dim_head=D, b_qkv=b_qkv, b_out=b_out, interpret=True,
+        )
+        return jnp.sum(out**2)
+
+    argnums = tuple(range(13))
+    from vit_pytorch_tpu.ops import fused_block as fb
+
+    monkeypatch.setenv("VIT_TPU_ENABLE_WHOLE_LAYER_BWD", "1")
+    assert fb.layer_bwd_supported((B, N, DIM), jnp.float32, H, D, DIM, MLP)
+    g_kernel = jax.grad(loss, argnums=argnums)(*args)
+    monkeypatch.delenv("VIT_TPU_ENABLE_WHOLE_LAYER_BWD")
+    assert not fb.layer_bwd_supported((B, N, DIM), jnp.float32, H, D, DIM, MLP)
+    g_decomp = jax.grad(loss, argnums=argnums)(*args)
+    names = ("x", "w_qkv", "b_qkv", "w_out", "b_out", "ln1s", "ln1b",
+             "ln2s", "ln2b", "w1", "b1", "w2", "b2")
+    for name, a, b in zip(names, g_kernel, g_decomp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3, err_msg=name
+        )
+
+
 def test_whole_layer_supported_gate():
     # the hardware-proven ViT-B config passes; ViT-L-width FF weights
     # (dim 1024, mlp 4096 → 25 MB bf16) exceed the 16 MB VMEM and fall back

@@ -111,7 +111,17 @@ def run(tag, remat):
 
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}  batch={BATCH}")
-    run("remat", True)
-    run("no-remat", False)
-    os.environ["VIT_TPU_DISABLE_WHOLE_LAYER"] = "1"
-    run("remat, no-whole-layer", True)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "kernel-bwd"):
+        # the measured-out single-kernel layer backward (opt-in)
+        os.environ["VIT_TPU_ENABLE_WHOLE_LAYER_BWD"] = "1"
+        run("remat, kernel-bwd", True)
+        del os.environ["VIT_TPU_ENABLE_WHOLE_LAYER_BWD"]
+    if which in ("all", "decomposed-bwd"):
+        run("remat, decomposed-bwd", True)
+    if which in ("all", "no-remat"):
+        run("no-remat, decomposed-bwd", False)
+    if which in ("all", "no-whole-layer"):
+        os.environ["VIT_TPU_DISABLE_WHOLE_LAYER"] = "1"
+        run("remat, no-whole-layer", True)
+        del os.environ["VIT_TPU_DISABLE_WHOLE_LAYER"]

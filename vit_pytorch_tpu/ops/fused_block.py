@@ -923,6 +923,355 @@ def _layer_pallas_forward(
     return result
 
 
+def _gelu_tanh_grad(h):
+    """d/dh of the tanh-approx GELU (matches jax.nn.gelu(approximate=True)
+    under autodiff; f32 math)."""
+    c = 0.7978845608028654  # sqrt(2/pi)
+    a = 0.044715
+    t = jnp.tanh(c * (h + a * h * h * h))
+    return 0.5 * (1.0 + t) + 0.5 * h * (1.0 - t * t) * c * (1.0 + 3.0 * a * h * h)
+
+
+def _layer_bwd_kernel(
+    *refs,
+    heads: int,
+    dim_head: int,
+    scale: float,
+    eps: float,
+    with_bqkv: bool,
+    with_bout: bool,
+):
+    """Backward of the whole transformer layer, per batch element, with ALL
+    weight gradients accumulated in f32 VMEM accumulators across the
+    sequential batch grid.
+
+    The round-2 attention backward emitted per-step (h, dqkv, m) tensors and
+    contracted them into dW with XLA GEMMs — three (b·n, ·) HBM streams
+    written then re-read (~3 GB/layer at bs=1024), plus the FF vjp's
+    recomputed GELU-hidden round-trips.  Accumulating rank-n dW updates per
+    step does the same contraction FLOPs (just K-split) and turns the
+    layer backward into: read x/y/g, write dx — nothing else touches HBM.
+    Feasible since the 16 MB "VMEM wall" turned out to be XLA's scoped-vmem
+    BUDGET, not physical VMEM (PERF_NOTES round 3): the f32 accumulators +
+    resident weights total ~58 MB of the 128 MB core VMEM.
+
+    Measured OUTCOME (v5e, ViT-B bs=1024): the K-split contractions and
+    accumulator read-modify-write cost MORE than the eliminated HBM
+    streams — 1,058 vs 959 ms/step fwd+bwd — so this kernel is opt-in,
+    not default (see layer_bwd_supported).
+
+    Layout: out = y + b2 + fc2(gelu(fc1(LN2(y)))), y = x + attn_block(x).
+    g is d(out); the FF half runs first (cotangent dy), then the attention
+    half (identical math to _bwd_kernel)."""
+    # b_out's VALUE is not needed (db_out = sum(dy)); it is not an operand
+    (x_ref, y_ref, g_ref, wqkv_ref, bqkv_ref, wout_ref, ln1s_ref, ln1b_ref,
+     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+     dx_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+     dln1s_ref, dln1b_ref, dln2s_ref, dln2b_ref,
+     dw1_ref, db1_ref, dw2_ref, db2_ref) = refs
+    i = pl.program_id(0)
+    prec = _kernel_dot_precision(x_ref.dtype)
+    io_dtype = x_ref.dtype
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref, dln1s_ref,
+                    dln1b_ref, dln2s_ref, dln2b_ref, dw1_ref, db1_ref,
+                    dw2_ref, db2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[0]
+    y = y_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+
+    def ln_fwd(v, s_ref, b_ref):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        vc = vf - mu
+        var = jnp.mean(jnp.square(vc), axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(var + eps)
+        xhat = vc * r
+        out = xhat * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        return out.astype(v.dtype), xhat, r
+
+    def ln_bwd(dout, xhat, r, s_ref):
+        gamma = s_ref[0].astype(jnp.float32)
+        dxhat = dout * gamma
+        return r * (
+            dxhat
+            - jnp.mean(dxhat, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        )
+
+    # --- FF half: recompute from y, backprop g to dy ---
+    y2, xhat2, r2 = ln_fwd(y, ln2s_ref, ln2b_ref)
+    h1_f32 = jnp.dot(y2, w1_ref[...], preferred_element_type=jnp.float32, precision=prec)
+    # primal adds the bias AFTER the bf16 cast (h2 + b1 in io dtype)
+    h1 = (h1_f32.astype(io_dtype) + b1_ref[0]).astype(jnp.float32)
+    act = jax.nn.gelu(h1, approximate=True).astype(io_dtype)
+
+    db2_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    gb = g.astype(io_dtype)
+    # dact = g @ W2^T
+    dact = jax.lax.dot_general(
+        gb, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dh1 = dact * _gelu_tanh_grad(h1)
+    db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+    dh1b = dh1.astype(io_dtype)
+    # dW2 += act^T @ g ; dW1 += y2^T @ dh1
+    dw2_ref[...] += jax.lax.dot_general(
+        act, gb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dw1_ref[...] += jax.lax.dot_general(
+        y2, dh1b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    # dy through LN2
+    dyln = jax.lax.dot_general(
+        dh1b, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dln2s_ref[...] += jnp.sum(dyln * xhat2, axis=0, keepdims=True)
+    dln2b_ref[...] += jnp.sum(dyln, axis=0, keepdims=True)
+    # out = fc2(...) + b2 + y: the residual path adds g directly
+    dy = ln_bwd(dyln, xhat2, r2, ln2s_ref) + g
+
+    # --- attention half: recompute from x, backprop dy (same math as
+    # _bwd_kernel, dW accumulated in-kernel) ---
+    h, xhat1, r1 = ln_fwd(x, ln1s_ref, ln1b_ref)
+    qkv_f32 = jnp.dot(h, wqkv_ref[...], preferred_element_type=jnp.float32, precision=prec)
+    if with_bqkv:
+        qkv_f32 = qkv_f32 + bqkv_ref[0].astype(jnp.float32)
+    qkv = qkv_f32.astype(io_dtype)
+
+    inner = heads * dim_head
+    dyb = dy.astype(io_dtype)
+    if with_bout:
+        dbout_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    # dm = dy @ Wout^T
+    dm = jax.lax.dot_general(
+        dyb, wout_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    dqs, dks, dvs, outs = [], [], [], []
+    for hh in range(heads):
+        q = qkv[:, hh * dim_head : (hh + 1) * dim_head]
+        k = qkv[:, inner + hh * dim_head : inner + (hh + 1) * dim_head]
+        v = qkv[:, 2 * inner + hh * dim_head : 2 * inner + (hh + 1) * dim_head]
+        logits = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            * scale
+        )
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pb = p.astype(io_dtype)
+        outs.append(jnp.dot(pb, v, preferred_element_type=jnp.float32, precision=prec).astype(io_dtype))
+
+        dm_h = dm[:, hh * dim_head : (hh + 1) * dim_head].astype(io_dtype)
+        dv = jax.lax.dot_general(
+            pb, dm_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dp = jax.lax.dot_general(
+            dm_h, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds.astype(io_dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32, precision=prec) * scale
+        dk = (
+            jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            * scale
+        )
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+
+    m = jnp.concatenate(outs, axis=-1)
+    # dWout += m^T @ dy
+    dwout_ref[...] += jax.lax.dot_general(
+        m, dyb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (n, 3*inner) f32
+    if with_bqkv:
+        dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dqkvb = dqkv.astype(io_dtype)
+    # dWqkv += h^T @ dqkv
+    dwqkv_ref[...] += jax.lax.dot_general(
+        h, dqkvb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    # dh = dqkv @ Wqkv^T
+    dh = jax.lax.dot_general(
+        dqkvb, wqkv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dln1s_ref[...] += jnp.sum(dh * xhat1, axis=0, keepdims=True)
+    dln1b_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    # y = x + attn(x): total dx = LN1-path dx + residual-path dy
+    dx = ln_bwd(dh, xhat1, r1, ln1s_ref) + dy
+    dx_ref[0] = dx.astype(io_dtype)
+
+
+def _vmem_bytes_layer_bwd(n, dim, inner, mlp, itemsize):
+    weights = (3 * inner * dim + inner * dim + 2 * dim * mlp) * itemsize
+    accums = (3 * inner * dim + inner * dim + 2 * dim * mlp + 3 * inner + 6 * dim + mlp) * 4
+    f32_tmps = (
+        n * (3 * inner) * 4 * 2  # qkv_f32 + dqkv
+        + n * mlp * 4 * 3  # h1 / dact / dh1
+        + n * dim * 4 * 4  # xhat1/xhat2/dy/dh
+        + 4 * n * n * 4  # live logits/p/dp/ds
+    )
+    io_dbuf = 2 * 4 * n * dim * itemsize  # x, y, g in + dx out
+    return weights + accums + f32_tmps + io_dbuf
+
+
+# naive estimate for the hardware-calibrated ViT-B config ~66 MB; physical
+# VMEM is 128 MB (PERF_NOTES round 3) — leave generous headroom
+_LAYER_BWD_EST_LIMIT = int(100 * 1024 * 1024)
+
+
+def layer_bwd_supported(x_shape, dtype, heads, dim_head, dim, mlp_dim) -> bool:
+    """Gate for the single-kernel whole-layer backward.
+
+    OPT-IN (``VIT_TPU_ENABLE_WHOLE_LAYER_BWD=1``), not default: measured on
+    v5e (ViT-B bs=1024, tools/bench_train_decomp.py) the kernel loses to the
+    decomposed path — fwd+bwd 1,058 vs 959 ms/step.  The in-VMEM dW
+    accumulation does the same contraction FLOPs as XLA's big (b·n, ·)
+    GEMMs but chunked at K=n=197 per image, plus ~28 MB of f32 accumulator
+    read-modify-write traffic per grid step; that costs more than the
+    (h, dqkv, m) HBM streams it eliminates.  Kept as a measured variant —
+    the balance may flip at larger n (packed/long-context shapes) where the
+    per-chunk K grows and the activation streams dominate.
+    """
+    import os
+
+    if not os.environ.get("VIT_TPU_ENABLE_WHOLE_LAYER_BWD"):
+        return False
+    b, n, d = x_shape
+    itemsize = jnp.dtype(dtype).itemsize
+    return (
+        _vmem_bytes_layer_bwd(n, dim, heads * dim_head, mlp_dim, itemsize)
+        <= _LAYER_BWD_EST_LIMIT
+    )
+
+
+def _layer_pallas_backward(
+    x, y, g, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2,
+    b2, *, heads, dim_head, scale, eps, interpret=False
+):
+    b, n, dim = x.shape
+    inner = heads * dim_head
+    mlp = w1.shape[1]
+    with_bqkv = b_qkv is not None
+    with_bout = b_out is not None
+    bqkv_arr = (b_qkv if with_bqkv else jnp.zeros((3 * inner,), x.dtype)).reshape(1, -1)
+    # b_out itself is NOT an operand: db_out = sum(dy) needs no value
+
+    kern = functools.partial(
+        _layer_bwd_kernel,
+        heads=heads,
+        dim_head=dim_head,
+        scale=scale,
+        eps=eps,
+        with_bqkv=with_bqkv,
+        with_bout=with_bout,
+    )
+    row = lambda t: t.reshape(1, -1)
+    batch_spec = pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((b, n, dim), x.dtype),   # dx
+        jax.ShapeDtypeStruct((dim, 3 * inner), f32),  # dWqkv
+        jax.ShapeDtypeStruct((1, 3 * inner), f32),    # dbqkv
+        jax.ShapeDtypeStruct((inner, dim), f32),      # dWout
+        jax.ShapeDtypeStruct((1, dim), f32),          # dbout
+        jax.ShapeDtypeStruct((1, dim), f32),          # dln1s
+        jax.ShapeDtypeStruct((1, dim), f32),          # dln1b
+        jax.ShapeDtypeStruct((1, dim), f32),          # dln2s
+        jax.ShapeDtypeStruct((1, dim), f32),          # dln2b
+        jax.ShapeDtypeStruct((dim, mlp), f32),        # dW1
+        jax.ShapeDtypeStruct((1, mlp), f32),          # db1
+        jax.ShapeDtypeStruct((mlp, dim), f32),        # dW2
+        jax.ShapeDtypeStruct((1, dim), f32),          # db2
+    )
+    out_specs = (
+        batch_spec,
+        const((dim, 3 * inner)),
+        const((1, 3 * inner)),
+        const((inner, dim)),
+        const((1, dim)),
+        const((1, dim)),
+        const((1, dim)),
+        const((1, dim)),
+        const((1, dim)),
+        const((dim, mlp)),
+        const((1, mlp)),
+        const((mlp, dim)),
+        const((1, dim)),
+    )
+    in_specs = [
+        batch_spec,
+        batch_spec,
+        batch_spec,
+        const((dim, 3 * inner)),
+        const((1, 3 * inner)),
+        const((inner, dim)),
+        const((1, dim)),
+        const((1, dim)),
+        const((1, dim)),
+        const((1, dim)),
+        const((dim, mlp)),
+        const((1, mlp)),
+        const((mlp, dim)),
+        const((1, dim)),
+    ]
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    )
+    (dx, dwqkv, dbqkv, dwout, dbout, dln1s, dln1b, dln2s, dln2b, dw1, db1,
+     dw2, db2) = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=params,
+        interpret=interpret,
+    )(x, y, g, w_qkv, bqkv_arr, w_out, row(ln1s), row(ln1b),
+      row(ln2s), row(ln2b), w1, row(b1), w2, row(b2))
+    return (
+        dx,
+        dwqkv.astype(w_qkv.dtype),
+        dbqkv[0].astype(b_qkv.dtype) if with_bqkv else None,
+        dwout.astype(w_out.dtype),
+        dbout[0].astype(b_out.dtype) if with_bout else None,
+        dln1s[0].astype(ln1s.dtype),
+        dln1b[0].astype(ln1b.dtype),
+        dln2s[0].astype(ln2s.dtype),
+        dln2b[0].astype(ln2b.dtype),
+        dw1.astype(w1.dtype),
+        db1[0].astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2[0].astype(b2.dtype),
+    )
+
+
 def _ff_reference(y, ln2s, ln2b, w1, b1, w2, b2, *, eps):
     """XLA composite of the kernel's FF half (same dtype path: dots with
     fp32 accumulation, add-chains in the IO dtype like nn.Dense)."""
@@ -958,12 +1307,27 @@ def _fused_layer_fwd(x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, 
 
 
 def _fused_layer_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
-    """Decomposed backward: y was saved by the forward; differentiate the
-    XLA FF composite from y, then run the Pallas attention backward with
-    the combined cotangent.  Saves (x, y) between passes — the same two
-    tensors the round-2 path kept (x for the attn custom_vjp, y as the
-    remat'd FF input)."""
+    """Whole-layer backward.  Default: the decomposed path — XLA FF vjp
+    from y + Pallas attention backward (the measured winner, see
+    layer_bwd_supported).  Opt-in variant (VIT_TPU_ENABLE_WHOLE_LAYER_BWD):
+    ONE Pallas kernel (_layer_bwd_kernel) recomputing both halves from
+    (x, y) with every dW accumulated in VMEM — nothing but x/y/g/dx
+    touches HBM.  Both save only (x, y)."""
     x, y, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2 = residuals
+
+    if layer_bwd_supported(
+        x.shape, x.dtype, heads, dim_head, x.shape[-1], w1.shape[1]
+    ):
+        (dx, dW_qkv, db_qkv, dW_out, db_out, dgamma, dbeta, dln2s, dln2b,
+         dW1, db1, dW2, db2) = _layer_pallas_backward(
+            x, y, g, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b,
+            w1, b1, w2, b2, heads=heads, dim_head=dim_head, scale=scale,
+            eps=eps, interpret=interpret,
+        )
+        return (
+            dx, dW_qkv, db_qkv, dW_out, db_out, dgamma, dbeta,
+            dln2s, dln2b, dW1, db1, dW2, db2,
+        )
 
     _, ff_vjp = jax.vjp(
         lambda y, ln2s, ln2b, w1, b1, w2, b2: _ff_reference(
