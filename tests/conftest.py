@@ -59,6 +59,25 @@ _cache_dir = os.environ.get(
         os.path.dirname(__file__), f".jax_cache_{_machine_fingerprint()}"
     ),
 )
+
+# Pre-seeded cache: a cold run on this 1-CPU box pays ~17 min of compiles
+# (hundreds of eager Module.init dispatches per test); a committed tarball
+# of exactly the suite's compile set turns a fresh clone into a warm run
+# (~6 min).  Seeds are keyed by the same CPU fingerprint as the live cache
+# (tests/cache_seed/<fingerprint>.tar.gz) so entries AOT-compiled for a
+# different host can never load (cross-machine XLA:CPU AOT can SIGILL);
+# an unmatched machine just compiles cold as before.
+if not os.path.isdir(_cache_dir):
+    _seed = os.path.join(
+        os.path.dirname(__file__), "cache_seed", f"{_machine_fingerprint()}.tar.gz"
+    )
+    if os.path.isfile(_seed):
+        import tarfile
+
+        os.makedirs(_cache_dir, exist_ok=True)
+        with tarfile.open(_seed, "r:gz") as tf:
+            tf.extractall(_cache_dir, filter="data")
+
 # make the resolved dir visible to tests that spawn driver-style subprocesses
 os.environ["VIT_TPU_TEST_CACHE_DIR"] = _cache_dir
 jax.config.update("jax_compilation_cache_dir", _cache_dir)

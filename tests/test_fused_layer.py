@@ -116,8 +116,10 @@ def test_layer_bwd_kernel_matches_decomposed(monkeypatch):
 
 
 def test_whole_layer_supported_gate():
-    # the hardware-proven ViT-B config passes; ViT-L-width FF weights
-    # (dim 1024, mlp 4096 → 25 MB bf16) exceed the 16 MB VMEM and fall back
+    # the hardware-proven ViT-B config passes; ViT-L width estimates above
+    # the ViT-B-calibrated ceiling and falls back — measured perf-identical
+    # there anyway (tools/bench_vitl.py: 1,056 vs 1,058 img/s), so the
+    # two-step path at wide dims is by merit, not a VMEM blocker
     assert whole_layer_supported((128, 197, 768), jnp.bfloat16, 12, 64, 768, 3072)
     assert not whole_layer_supported((128, 197, 1024), jnp.bfloat16, 16, 64, 1024, 4096)
     assert not whole_layer_supported((128, 197, 768), jnp.float32, 12, 64, 768, 3072)

@@ -738,17 +738,17 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 # Measured (tools/bench_layer_fused.py, v5e, ViT-B shapes b=128/n=197/d=768):
 # the attn-kernel + XLA-FF pair runs 2.85 ms/layer; one kernel holding the
 # full layer (all weights resident, 2 imgs/grid-step) runs 2.71-2.76 — the
-# y and GELU-hidden HBM round-trips between the halves disappear.  More
-# aggressive schedules are VMEM-blocked: physical VMEM is exactly 16 MB
-# (Mosaic: "Scoped allocation ... limit 16.00M"), so >2 images/step or
-# resident-FF-at-ips-4 exceed it (20.6M), and FF-weight-tile streaming
-# variants measured slower (2.86-2.98).  See docs/PERF_NOTES.md round 3.
+# y and GELU-hidden HBM round-trips between the halves disappear.  The
+# "16 MB VMEM wall" Mosaic reports is XLA's default SCOPED-VMEM BUDGET
+# (xla_tpu_scoped_vmem_limit_kib), not the 128 MB physical VMEM; the
+# kernel raises it per-call via CompilerParams (value itself measured
+# perf-neutral, 20/32/64 MB identical).  >2 images/step and FF-weight-tile
+# streaming variants measured SLOWER (see docs/PERF_NOTES.md round 3).
 # ---------------------------------------------------------------------------
 
-# naive working-set estimate for the ViT-B config that is PROVEN to compile
-# on hardware (Mosaic reuses buffers, so the naive sum 20.7M exceeds the
-# 16M physical VMEM while the kernel still fits); configs estimating above
-# this calibrated ceiling fall back to the two-step path
+# naive working-set estimate ceiling, calibrated to configs PROVEN on
+# hardware (Mosaic reuses buffers, so the naive sum overestimates the real
+# footprint); configs estimating above it fall back to the two-step path
 _WHOLE_LAYER_EST_LIMIT = int(20.75 * 1024 * 1024)
 
 
