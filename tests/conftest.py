@@ -76,7 +76,10 @@ if not os.path.isdir(_cache_dir):
 
         os.makedirs(_cache_dir, exist_ok=True)
         with tarfile.open(_seed, "r:gz") as tf:
-            tf.extractall(_cache_dir, filter="data")
+            try:
+                tf.extractall(_cache_dir, filter="data")
+            except TypeError:  # filter= needs >=3.10.12/3.11.4; seed is ours
+                tf.extractall(_cache_dir)
 
 # make the resolved dir visible to tests that spawn driver-style subprocesses
 os.environ["VIT_TPU_TEST_CACHE_DIR"] = _cache_dir

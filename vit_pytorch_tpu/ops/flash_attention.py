@@ -52,10 +52,13 @@ def _tile_keep(seed, tile_id, shape, rate: float):
     iteration order ('parallel' dimension semantics included).  Tile shapes
     are always (block_q, block_k) = (8,128)-aligned, which Mosaic's PRNG
     lowering requires."""
+    # the rate→uint32 threshold is the fwd/bwd mask-replay contract shared
+    # with the fused-block kernel tier — ONE definition for both
+    from .fused_block import _dropout_threshold
+
     pltpu.prng_seed(seed, tile_id)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    thr = np.uint32(min(int(rate * 2**32), 2**32 - 1))
-    return bits >= thr
+    return bits >= _dropout_threshold(rate)
 
 
 def _round_up(x, m):

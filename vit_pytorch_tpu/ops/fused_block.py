@@ -763,6 +763,15 @@ def _vmem_bytes_whole(n, dim, inner, mlp, itemsize, ips):
     return weights + transients
 
 
+def _whole_layer_ips(b: int, n: int, dim: int) -> int:
+    """Images per grid step — the ONE definition consumed by both the
+    eligibility gate (whose VMEM estimate scales with it) and the kernel
+    launch, so they can never disagree about the working-set size.
+    2 when the stacked rows compose into sublane tiles (+2.7% measured);
+    >2 measured slower (PERF_NOTES round 3)."""
+    return 2 if (b % 2 == 0 and (n % 8 == 0 or n % 8 >= 5) and dim % 128 == 0) else 1
+
+
 def whole_layer_supported(
     x_shape, dtype, heads: int, dim_head: int, dim: int, mlp_dim: int
 ) -> bool:
@@ -779,7 +788,7 @@ def whole_layer_supported(
     if d != dim:
         return False
     inner = heads * dim_head
-    ips = 2 if (b % 2 == 0 and (n % 8 == 0 or n % 8 >= 5) and dim % 128 == 0) else 1
+    ips = _whole_layer_ips(b, n, dim)
     if b % ips:
         return False
     return _vmem_bytes_whole(n, dim, inner, mlp_dim, 2, ips) <= _WHOLE_LAYER_EST_LIMIT
@@ -811,12 +820,15 @@ def _layer_kernel(
             o * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
         ).astype(v.dtype)
 
-    # add-chains run in x.dtype (exactly the XLA Dense path: bf16 out +
-    # bf16 bias) — f32 temporaries here pushed the kernel's scoped VMEM to
-    # 19.5M > 16M inside the full model
-    qkv = jnp.dot(ln(x, ln1s_ref, ln1b_ref), wqkv_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)).astype(x.dtype)
+    # qkv bias is added in f32 BEFORE the cast — the dot output is already
+    # f32, so this costs nothing and keeps the forward bit-identical to the
+    # backward kernels' recompute (_bwd_kernel / _layer_bwd_kernel, which
+    # both add in f32); the FF half below adds ITS biases in x.dtype
+    # (the XLA Dense add-chain the FF vjp composite mirrors)
+    qkv_f32 = jnp.dot(ln(x, ln1s_ref, ln1b_ref), wqkv_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype))
     if with_bqkv:
-        qkv = qkv + bqkv_ref[0]
+        qkv_f32 = qkv_f32 + bqkv_ref[0].astype(jnp.float32)
+    qkv = qkv_f32.astype(x.dtype)
 
     img_outs = []
     for j in range(imgs_per_step):
@@ -869,7 +881,7 @@ def _layer_pallas_forward(
     with_bout = b_out is not None
     bqkv_arr = (b_qkv if with_bqkv else jnp.zeros((3 * inner,), x.dtype)).reshape(1, -1)
     bout_arr = (b_out if with_bout else jnp.zeros((dim,), x.dtype)).reshape(1, -1)
-    ips = 2 if (b % 2 == 0 and (n % 8 == 0 or n % 8 >= 5) and dim % 128 == 0) else 1
+    ips = _whole_layer_ips(b, n, dim)
 
     kern = functools.partial(
         _layer_kernel,
@@ -1470,6 +1482,22 @@ def fused_attention_block(
             x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
             heads=heads, dim_head=dim_head, scale=float(scale), eps=eps,
         )
+    if dropout_rate > 0.0:
+        if interpret:
+            raise ValueError(
+                "fused dropout needs the TPU PRNG, which has no interpreter "
+                "lowering — run dropout tests on the chip (see the "
+                "dropout_masks helper for mask replay)"
+            )
+        if not fused_dropout_supported(x.shape, heads, dim_head):
+            # without this, the backward would bypass the VMEM-fallback
+            # guard (it cannot replay the PRNG masks through the XLA
+            # composite) and die with an opaque Mosaic scoped-VMEM error
+            raise ValueError(
+                "fused dropout at this shape would exceed the Pallas "
+                "backward's VMEM budget and the XLA fallback cannot replay "
+                "the in-kernel PRNG masks — gate on fused_dropout_supported"
+            )
     seed = (
         jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
         if dropout_rate > 0.0

@@ -140,12 +140,18 @@ def download_siglip(
 ) -> str:
     """Download the SigLIP checkpoint from the HF hub like reference
     vat_siglip.py:277-285 (snapshot_download of config.json +
-    model.safetensors, skipped when ``folder`` already exists) and return
-    the local safetensors path — feed it to :func:`load_siglip`."""
+    model.safetensors, skipped when already cached) and return the local
+    safetensors path — feed it to :func:`load_siglip`.
+
+    Divergence from the reference: the skip-if-cached check is on the
+    ``model.safetensors`` FILE, not the folder — the reference's
+    folder-exists check leaves an interrupted first download permanently
+    broken (folder created, weights missing, never retried)."""
     from pathlib import Path
 
     folder = Path(folder)
-    if not folder.exists():
+    weights = folder / "model.safetensors"
+    if not weights.exists():
         from huggingface_hub import snapshot_download
 
         snapshot_download(
@@ -153,21 +159,32 @@ def download_siglip(
             local_dir=folder,
             allow_patterns=["config.json", "model.safetensors"],
         )
-    return str(folder / "model.safetensors")
+    return str(weights)
 
 
 def load_siglip(source, depth: int = 27) -> dict:
     """HF SigLIP vision tower → SigLIP flax params (the remap of
     vat_siglip.py:273-343).  ``source`` may be a local safetensors path, a
-    {name: array} dict, or an HF repo id (anything containing "/" that is
-    not an existing file — downloaded via :func:`download_siglip`, matching
-    the reference's hub path; the local routes stay the offline-tested
-    ones)."""
+    {name: array} dict, or an HF repo id (``namespace/repo`` — downloaded
+    via :func:`download_siglip`, matching the reference's hub path; the
+    local routes stay the offline-tested ones)."""
     if isinstance(source, str):
         import os
 
-        if not os.path.exists(source) and "/" in source:
-            source = download_siglip(repo_id=source)
+        if not os.path.exists(source):
+            # only a plain namespace/repo shape goes to the hub; a
+            # multi-slash or .safetensors-suffixed string is a mistyped
+            # LOCAL path and should fail loudly, not trigger a network
+            # call to a nonsense repo id
+            if source.count("/") == 1 and not source.endswith(
+                (".safetensors", ".json")
+            ):
+                source = download_siglip(repo_id=source)
+            else:
+                raise FileNotFoundError(
+                    f"load_siglip: {source!r} does not exist locally and "
+                    "does not look like an HF repo id (namespace/repo)"
+                )
         from safetensors import safe_open
 
         tensors = {}
