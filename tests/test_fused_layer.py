@@ -150,6 +150,11 @@ def test_transformer_selects_whole_layer(monkeypatch):
         fb, "_layer_pallas_forward",
         lambda *a, **k: orig(*a, **{**k, "interpret": True}),
     )
+    orig_stack = fb._stack_pallas_forward
+    monkeypatch.setattr(
+        fb, "_stack_pallas_forward",
+        lambda *a, **k: orig_stack(*a, **{**k, "interpret": True}),
+    )
     xb = x32.astype(jnp.bfloat16)
     pb = jax.tree.map(lambda t: t.astype(jnp.bfloat16), params)
     out = model.apply(pb, xb)
@@ -159,3 +164,152 @@ def test_transformer_selects_whole_layer(monkeypatch):
         np.asarray(out, dtype=np.float32), np.asarray(ref_b),
         atol=0.08, rtol=0.05,
     )
+
+
+def _stack_layers(n_layers, dtype=jnp.float32, qkv_bias=True):
+    layers = []
+    for li in range(n_layers):
+        (x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1,
+         w2, b2) = _inputs(dtype, qkv_bias=qkv_bias)
+        r = 1.0 + 0.1 * li
+        layers.append(
+            (w_qkv * r, None if b_qkv is None else b_qkv * r, w_out * r,
+             b_out, ln1s, ln1b, ln2s, ln2b, w1 * r, b1, w2, b2)
+        )
+    return x, layers
+
+
+@pytest.mark.parametrize("n_layers", [2, 3])
+def test_stack_matches_sequential_layers(n_layers):
+    """fused_transformer_stack == the same layers applied one
+    fused_transformer_layer at a time (shared _layer_rows body ⇒ the only
+    difference is where HBM boundaries fall)."""
+    from vit_pytorch_tpu.ops.fused_block import fused_transformer_stack
+
+    x, layers = _stack_layers(n_layers)
+    want = x
+    for (w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2) in layers:
+        want = fused_transformer_layer(
+            want, w_qkv, w_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2,
+            heads=H, dim_head=D, b_qkv=b_qkv, b_out=b_out, interpret=True,
+        )
+    got = fused_transformer_stack(
+        x, layers, heads=H, dim_head=D, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-6)
+
+
+def test_stack_grads_match_sequential_chain():
+    """The stack's custom_vjp (recompute through the per-layer chain) must
+    agree with differentiating the per-layer chain directly — on x and on
+    every weight of every layer."""
+    from vit_pytorch_tpu.ops.fused_block import fused_transformer_stack
+
+    x, layers = _stack_layers(2)
+
+    def loss_stack(x, layers):
+        out = fused_transformer_stack(
+            x, layers, heads=H, dim_head=D, interpret=True
+        )
+        return jnp.sum(out**2)
+
+    def loss_chain(x, layers):
+        for (w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1,
+             w2, b2) in layers:
+            x = fused_transformer_layer(
+                x, w_qkv, w_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2,
+                heads=H, dim_head=D, b_qkv=b_qkv, b_out=b_out, interpret=True,
+            )
+        return jnp.sum(x**2)
+
+    gs = jax.grad(loss_stack, argnums=(0, 1))(x, tuple(map(tuple, layers)))
+    gc = jax.grad(loss_chain, argnums=(0, 1))(x, tuple(map(tuple, layers)))
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_stack_group_gate(monkeypatch):
+    from vit_pytorch_tpu.ops.fused_block import whole_layer_stack_group
+
+    vitb = ((128, 197, 768), jnp.bfloat16, 12, 64, 768, 3072)
+    # default: stacking is opt-in (in-model L=6 measured SLOWER than
+    # per-layer on the flagship — PERF_NOTES round 3)
+    monkeypatch.delenv("VIT_TPU_STACK_LAYERS", raising=False)
+    assert whole_layer_stack_group(*vitb, depth=12) == 1
+    # forced: ViT-B fits 6 layers of resident weights (6 x ~13.5 MiB)
+    monkeypatch.setenv("VIT_TPU_STACK_LAYERS", "6")
+    assert whole_layer_stack_group(*vitb, depth=12) == 6
+    # never exceeds depth
+    assert whole_layer_stack_group(*vitb, depth=4) == 4
+    # unsupported base config (fp32) -> per-layer even when forced
+    assert whole_layer_stack_group(
+        (128, 197, 768), jnp.float32, 12, 64, 768, 3072, depth=12
+    ) == 1
+    # a forced group that cannot fit VMEM shrinks to what fits
+    monkeypatch.setenv("VIT_TPU_STACK_LAYERS", "64")
+    assert whole_layer_stack_group(*vitb, depth=64) == 6
+
+
+def test_stack_rejects_mixed_biases():
+    from vit_pytorch_tpu.ops.fused_block import fused_transformer_stack
+
+    x, layers = _stack_layers(2)
+    broken = [layers[0], layers[1][:1] + (None,) + layers[1][2:]]
+    with pytest.raises(ValueError, match="uniformly"):
+        fused_transformer_stack(x, broken, heads=H, dim_head=D, interpret=True)
+
+
+def _tpu_device():
+    import os
+
+    if os.environ.get("VIT_TPU_SKIP_TPU_TESTS"):
+        return None
+    try:
+        return jax.devices("tpu")[0]
+    except RuntimeError:
+        return None
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(_tpu_device() is None, reason="needs a real TPU chip")
+def test_stacked_vit_matches_per_layer_on_tpu(monkeypatch):
+    """Model-level, real chip: a bf16 ViT whose Transformer dispatches the
+    multi-layer stack must match the same model forced onto per-layer
+    whole-layer kernels (VIT_TPU_DISABLE_STACK=1) — forward bit-for-bit
+    (shared _layer_rows body) and grads exactly (the stack's custom_vjp IS
+    the per-layer grad path)."""
+    from vit_pytorch_tpu.models.vit import ViT
+    from vit_pytorch_tpu.ops.fused_block import whole_layer_stack_group
+
+    kw = dict(image_size=64, patch_size=16, num_classes=5, dim=256, depth=3,
+              heads=4, dim_head=64, mlp_dim=512)
+    model = ViT(**kw)
+    with jax.default_device(_tpu_device()):
+        x32 = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 64, 64))
+        params = model.init(jax.random.PRNGKey(0), x32)
+        params = jax.tree.map(lambda t: t.astype(jnp.bfloat16), params)
+        x = x32.astype(jnp.bfloat16)
+        # stacking is opt-in; force it and check the gate engages
+        monkeypatch.setenv("VIT_TPU_STACK_LAYERS", "3")
+        assert whole_layer_stack_group(
+            (4, 17, 256), jnp.bfloat16, 4, 64, 256, 512, depth=3
+        ) == 3
+
+        def loss(p):
+            return jnp.sum(model.apply(p, x).astype(jnp.float32) ** 2)
+
+        monkeypatch.delenv("VIT_TPU_DISABLE_STACK", raising=False)
+        out_stack = model.apply(params, x)
+        g_stack = jax.grad(loss)(params)
+        monkeypatch.setenv("VIT_TPU_DISABLE_STACK", "1")
+        out_layer = model.apply(params, x)
+        g_layer = jax.grad(loss)(params)
+        monkeypatch.delenv("VIT_TPU_DISABLE_STACK", raising=False)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_stack, np.float32), np.asarray(out_layer, np.float32)
+    )
+    for a, b in zip(jax.tree.leaves(g_stack), jax.tree.leaves(g_layer)):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)
+        )

@@ -40,6 +40,22 @@ from jax.experimental.pallas import tpu as pltpu
 # buffering).  Estimated in _vmem_bytes below.
 _VMEM_LIMIT = 12 * 1024 * 1024
 
+_LOG2E = 1.4426950408889634  # log2(e)
+
+
+def _softmax_from_dots(dots_f32, scale):
+    """softmax(dots * scale) along the last axis, written for the VPU:
+    scale and log2(e) fold into ONE f32 multiply and the exponent runs as
+    exp2 (the hardware primitive exp() lowers to anyway, minus the extra
+    per-element multiply), and the (n, n) broadcast divide becomes an
+    (n, 1) reciprocal + multiply.  Mathematically identical to
+    exp(l - max) / sum — exp2(x·log2e) == exp(x) and the max-subtract is
+    equivalent in the base-2 domain."""
+    logits = dots_f32 * (scale * _LOG2E)
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp2(logits)
+    return p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
+
 
 def _vmem_bytes(
     n: int, dim: int, inner: int, itemsize: int, imgs_per_step: int = 1
@@ -259,15 +275,12 @@ def _kernel(
             q = qkv[rows, h * dim_head : (h + 1) * dim_head]
             k = qkv[rows, inner + h * dim_head : inner + (h + 1) * dim_head]
             v = qkv[rows, 2 * inner + h * dim_head : 2 * inner + (h + 1) * dim_head]
-            logits = (
+            p = _softmax_from_dots(
                 jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
-                )
-                * scale
+                ),
+                scale,
             )
-            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
             if dropout_rate > 0.0:
                 keep = _attn_keep(seed_ref[0, 0], img, h, n, n, dropout_rate)
                 p = jnp.where(keep, p, 0.0) * inv_keep
@@ -485,15 +498,12 @@ def _bwd_kernel(
         q = qkv[:, hh * dim_head : (hh + 1) * dim_head]
         k = qkv[:, inner + hh * dim_head : inner + (hh + 1) * dim_head]
         v = qkv[:, 2 * inner + hh * dim_head : 2 * inner + (hh + 1) * dim_head]
-        logits = (
+        p = _softmax_from_dots(
             jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
-            )
-            * scale
+            ),
+            scale,
         )
-        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
             keep = _attn_keep(seed_ref[0, 0], i, hh, p.shape[0], p.shape[1], dropout_rate)
             pd = jnp.where(keep, p, 0.0) * inv_keep
@@ -794,10 +804,10 @@ def whole_layer_supported(
     return _vmem_bytes_whole(n, dim, inner, mlp_dim, 2, ips) <= _WHOLE_LAYER_EST_LIMIT
 
 
-def _layer_kernel(
-    x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, ln1s_ref, ln1b_ref,
-    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-    *maybe_y_ref,
+def _layer_rows(
+    x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, ln1s_ref, ln1b_ref,
+    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    *,
     heads: int,
     dim_head: int,
     scale: float,
@@ -805,11 +815,14 @@ def _layer_kernel(
     with_bqkv: bool,
     with_bout: bool,
     imgs_per_step: int,
-    emit_y: bool = False,
+    n: int,
 ):
-    n = x_ref.shape[1]
+    """One transformer layer over (imgs_per_step * n, dim) stacked rows —
+    the in-VMEM body shared by the single-layer kernel and the multi-layer
+    stack kernel (identical numerics, so the two dispatch paths are
+    bit-equal).  Returns (out, y); y is the post-attention residual the
+    grad-path single-layer kernel emits."""
     inner = heads * dim_head
-    x = x_ref[...].reshape(imgs_per_step * n, x_ref.shape[2])
 
     def ln(v, s_ref, b_ref):
         vf = v.astype(jnp.float32)
@@ -838,15 +851,12 @@ def _layer_kernel(
             q = qkv[rows, h * dim_head : (h + 1) * dim_head]
             k = qkv[rows, inner + h * dim_head : inner + (h + 1) * dim_head]
             v = qkv[rows, 2 * inner + h * dim_head : 2 * inner + (h + 1) * dim_head]
-            logits = (
+            p = _softmax_from_dots(
                 jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
-                )
-                * scale
+                ),
+                scale,
             )
-            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
             outs.append(
                 jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)).astype(x.dtype)
             )
@@ -857,16 +867,41 @@ def _layer_kernel(
     if with_bout:
         att = att + bout_ref[0]
     y = att + x
-    if emit_y:
-        # training variant: the custom_vjp saves y so the backward needs no
-        # attention-forward recompute (one extra HBM write, grad path only)
-        maybe_y_ref[0][...] = y.reshape(maybe_y_ref[0].shape)
 
     # FF half: LN2 → fc1 (+b1) → tanh-GELU (the bf16 policy) → fc2 (+b2) → +y
     h2 = jnp.dot(ln(y, ln2s_ref, ln2b_ref), w1_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)).astype(x.dtype)
     h2 = jax.nn.gelu(h2 + b1_ref[0], approximate=True)
     out = jnp.dot(h2, w2_ref[...], preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)).astype(x.dtype)
     out = out + b2_ref[0] + y
+    return out, y
+
+
+def _layer_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, ln1s_ref, ln1b_ref,
+    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+    *maybe_y_ref,
+    heads: int,
+    dim_head: int,
+    scale: float,
+    eps: float,
+    with_bqkv: bool,
+    with_bout: bool,
+    imgs_per_step: int,
+    emit_y: bool = False,
+):
+    n = x_ref.shape[1]
+    x = x_ref[...].reshape(imgs_per_step * n, x_ref.shape[2])
+    out, y = _layer_rows(
+        x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, ln1s_ref, ln1b_ref,
+        ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+        heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+        with_bqkv=with_bqkv, with_bout=with_bout,
+        imgs_per_step=imgs_per_step, n=n,
+    )
+    if emit_y:
+        # training variant: the custom_vjp saves y so the backward needs no
+        # attention-forward recompute (one extra HBM write, grad path only)
+        maybe_y_ref[0][...] = y.reshape(maybe_y_ref[0].shape)
     o_ref[...] = out.reshape(o_ref.shape)
 
 
@@ -1074,16 +1109,13 @@ def _layer_bwd_kernel(
         q = qkv[:, hh * dim_head : (hh + 1) * dim_head]
         k = qkv[:, inner + hh * dim_head : inner + (hh + 1) * dim_head]
         v = qkv[:, 2 * inner + hh * dim_head : 2 * inner + (hh + 1) * dim_head]
-        logits = (
+        p = _softmax_from_dots(
             jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            )
-            * scale
+            ),
+            scale,
         )
-        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
         pb = p.astype(io_dtype)
         outs.append(jnp.dot(pb, v, preferred_element_type=jnp.float32, precision=prec).astype(io_dtype))
 
@@ -1425,6 +1457,227 @@ def fused_transformer_layer(
     return _fused_layer(
         x, w_qkv, b_qkv, w_out, b_out, ln1_scale, ln1_bias, ln2_scale,
         ln2_bias, w1, b1, w2, b2, heads, dim_head, float(scale), eps, interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-LAYER stack kernel — several whole layers per Pallas call.
+#
+# The whole-layer kernel still pays one x read + one out write per layer
+# (77.5 MB/boundary at ViT-B bs=128) plus a kernel launch.  Holding L
+# layers' weights resident (L × ~13.5 MiB bf16 at ViT-B — the scoped-VMEM
+# budget is raisable, physical VMEM is 128 MB) and running each (ips, n,
+# dim) block through all L layers eliminates L-1 of every L boundaries.
+# Measured (tools/bench_stack_fusion.py, v5e, ViT-B shapes): 3.354 ms/layer
+# standalone L=1 → 3.080 (L=2) → 2.840 (L=3) → 2.733 (L=4) → 2.600 (L=6),
+# outputs bit-identical to the sequential single-layer calls.
+# ---------------------------------------------------------------------------
+
+# weights-per-layer bytes beyond the first layer's working set; ceiling
+# calibrated to the hardware-proven ViT-B L=6 config (~88 MiB estimate)
+_STACK_EST_LIMIT = int(90 * 1024 * 1024)
+# default layers-per-call.  1 = stacking OPT-IN (VIT_TPU_STACK_LAYERS):
+# standalone the stack wins big (2.60 vs 3.35 ms/layer at L=6,
+# tools/bench_stack_fusion.py) but IN-MODEL the flagship measured 4,150
+# img/s at L=6 vs 4,237-4,264 per-layer — XLA already pipelines
+# consecutive pallas calls, and the resident 85 MB of weights appears to
+# crowd the x-block double-buffering.  See PERF_NOTES round 3.
+_STACK_DEFAULT_GROUP = 1
+_STACK_MAX_LAYERS = 6
+
+
+def _layer_weight_bytes(dim: int, inner: int, mlp: int, itemsize: int) -> int:
+    return (3 * inner * dim + inner * dim + 2 * dim * mlp) * itemsize
+
+
+def whole_layer_stack_group(
+    x_shape, dtype, heads: int, dim_head: int, dim: int, mlp_dim: int,
+    depth: int,
+) -> int:
+    """Layers-per-Pallas-call group for the stacked whole-layer path
+    (1 = per-layer calls).  ``VIT_TPU_STACK_LAYERS=g`` forces a group size
+    (clamped to depth and to what the VMEM estimate says fits); the default
+    is :data:`_STACK_DEFAULT_GROUP`.  Callers gate on
+    :func:`whole_layer_supported` first; this only sizes the group."""
+    import os
+
+    if os.environ.get("VIT_TPU_DISABLE_STACK"):
+        return 1
+    if not whole_layer_supported(x_shape, dtype, heads, dim_head, dim, mlp_dim):
+        return 1
+    forced = os.environ.get("VIT_TPU_STACK_LAYERS")
+    want = int(forced) if forced else _STACK_DEFAULT_GROUP
+    if want <= 1:
+        return 1
+    b, n, d = x_shape
+    inner = heads * dim_head
+    ips = _whole_layer_ips(b, n, dim)
+    base = _vmem_bytes_whole(n, dim, inner, mlp_dim, 2, ips)
+    per_layer = _layer_weight_bytes(dim, inner, mlp_dim, 2)
+    g = min(want, _STACK_MAX_LAYERS, depth)
+    while g > 1 and base + (g - 1) * per_layer > _STACK_EST_LIMIT:
+        g -= 1
+    return g
+
+
+def _stack_kernel(
+    *refs,
+    heads: int,
+    dim_head: int,
+    scale: float,
+    eps: float,
+    with_bqkv: bool,
+    with_bout: bool,
+    imgs_per_step: int,
+    n_layers: int,
+):
+    x_ref = refs[0]
+    o_ref = refs[-1]
+    n = x_ref.shape[1]
+    x = x_ref[...].reshape(imgs_per_step * n, x_ref.shape[2])
+    for li in range(n_layers):
+        w = refs[1 + li * 12 : 1 + (li + 1) * 12]
+        x, _ = _layer_rows(
+            x, *w,
+            heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+            with_bqkv=with_bqkv, with_bout=with_bout,
+            imgs_per_step=imgs_per_step, n=n,
+        )
+    o_ref[...] = x.reshape(o_ref.shape)
+
+
+def _stack_pallas_forward(x, layers, *, heads, dim_head, scale, eps, interpret=False):
+    b, n, dim = x.shape
+    inner = heads * dim_head
+    mlp = layers[0][8].shape[1]  # w1
+    with_bqkv = layers[0][1] is not None
+    with_bout = layers[0][3] is not None
+    ips = _whole_layer_ips(b, n, dim)
+
+    row = lambda t: t.reshape(1, -1)
+    operands = [x]
+    for (w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2) in layers:
+        operands += [
+            w_qkv,
+            row(b_qkv if with_bqkv else jnp.zeros((3 * inner,), x.dtype)),
+            w_out,
+            row(b_out if with_bout else jnp.zeros((dim,), x.dtype)),
+            row(ln1s), row(ln1b), row(ln2s), row(ln2b),
+            w1, row(b1), w2, row(b2),
+        ]
+
+    kern = functools.partial(
+        _stack_kernel,
+        heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+        with_bqkv=with_bqkv, with_bout=with_bout,
+        imgs_per_step=ips, n_layers=len(layers),
+    )
+    batch_spec = pl.BlockSpec((ips, n, dim), lambda i: (i, 0, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    per_layer_specs = [
+        const((dim, 3 * inner)), const((1, 3 * inner)),
+        const((inner, dim)), const((1, dim)),
+        const((1, dim)), const((1, dim)), const((1, dim)), const((1, dim)),
+        const((dim, mlp)), const((1, mlp)), const((mlp, dim)), const((1, dim)),
+    ]
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
+        grid=(b // ips,),
+        in_specs=[batch_spec] + per_layer_specs * len(layers),
+        out_specs=batch_spec,
+        compiler_params=params,
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _fused_stack(x, layers, heads, dim_head, scale, eps, interpret):
+    return _stack_pallas_forward(
+        x, layers, heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+        interpret=interpret,
+    )
+
+
+def _fused_stack_fwd(x, layers, heads, dim_head, scale, eps, interpret):
+    # This runs only UNDER DIFFERENTIATION (the stacked primal above runs
+    # otherwise).  Run the per-layer grad-path kernels (emit y) and save
+    # each layer's (x, y) — exactly the per-layer training path, so taking
+    # gradients through a stacked Transformer costs the same as through the
+    # per-layer dispatch (no remat-style recompute, no train-time perf
+    # cliff for callers that differentiate an eval-mode apply).
+    xs, ys = [], []
+    cur = x
+    for lw in layers:
+        xs.append(cur)
+        cur, y = _layer_pallas_forward(
+            cur, *lw, heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+            interpret=interpret, emit_y=True,
+        )
+        ys.append(y)
+    return cur, (tuple(xs), tuple(ys), layers)
+
+
+def _fused_stack_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
+    # per-layer decomposed backwards, newest layer first — identical to the
+    # gradient of the per-layer chain (shared _layer_rows body; shared
+    # _fused_layer_bwd)
+    xs, ys, layers = residuals
+    dlayers = []
+    for i in reversed(range(len(layers))):
+        res = (xs[i], ys[i]) + tuple(layers[i])
+        grads = _fused_layer_bwd(heads, dim_head, scale, eps, interpret, res, g)
+        g = grads[0]
+        dlayers.append(tuple(grads[1:]))
+    return g, tuple(reversed(dlayers))
+
+
+_fused_stack.defvjp(_fused_stack_fwd, _fused_stack_bwd)
+
+
+def fused_transformer_stack(
+    x,
+    layers,
+    *,
+    heads: int,
+    dim_head: int,
+    scale: Optional[float] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """``len(layers)`` consecutive pre-norm transformer layers in ONE Pallas
+    call (reference vit.py:66-83 loop, several iterations per kernel).
+
+    ``layers`` is a sequence of per-layer weight tuples
+    ``(w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2)``
+    (the differentiable operand order of :func:`fused_transformer_layer`;
+    the optional biases must be uniformly present or absent across layers).
+    All layers' weights stay resident in VMEM and each (ips, n, dim) batch
+    block runs through every layer before returning to HBM — eliminating
+    the inter-layer x/out round-trips and per-call launch overhead.
+    Callers size the group with :func:`whole_layer_stack_group`."""
+    if scale is None:
+        scale = dim_head**-0.5
+    layers = tuple(tuple(lw) for lw in layers)
+    if len(layers) == 1:
+        return _fused_layer(
+            x, *layers[0], heads, dim_head, float(scale), eps, interpret
+        )
+    with_bqkv = layers[0][1] is not None
+    with_bout = layers[0][3] is not None
+    for lw in layers[1:]:
+        if (lw[1] is not None) != with_bqkv or (lw[3] is not None) != with_bout:
+            raise ValueError(
+                "fused_transformer_stack: optional biases must be uniformly "
+                "present or absent across the stacked layers"
+            )
+    return _fused_stack(
+        x, layers, heads, dim_head, float(scale), eps, interpret
     )
 
 
