@@ -1,8 +1,12 @@
 """In-model sweep of the whole-layer stack group size (VIT_TPU_STACK_LAYERS)
-on the flagship ViT-B/16 @224 bs=128 bf16 inference path.
+on the ViT-B/16 @224 bf16 inference path.  BATCH sets the batch size
+(default 128 — the flagship throughput config; small values probe the
+serving regime where fewer grid steps per call make launch overhead and
+inter-layer boundaries a bigger fraction of step time).
 
 Usage:  VIT_TPU_STACK_LAYERS=4 python tools/bench_stack_model.py
         VIT_TPU_DISABLE_STACK=1 python tools/bench_stack_model.py   # per-layer
+        BATCH=8 VIT_TPU_STACK_LAYERS=6 python tools/bench_stack_model.py
 """
 
 import os
@@ -18,7 +22,8 @@ from vit_pytorch_tpu import ViT
 
 
 def main():
-    batch, iters = 128, 30
+    batch = int(os.environ.get("BATCH", "128"))
+    iters = max(30, 3840 // batch)  # keep total work roughly constant
     model = ViT(image_size=224, patch_size=16, num_classes=1000,
                 dim=768, depth=12, heads=12, mlp_dim=3072)
     rng = jax.random.PRNGKey(0)
@@ -43,7 +48,7 @@ def main():
     tag = os.environ.get("VIT_TPU_STACK_LAYERS") or (
         "off" if os.environ.get("VIT_TPU_DISABLE_STACK") else "auto"
     )
-    print(f"stack={tag}: {batch * iters / best:.0f} img/s, "
+    print(f"bs={batch} stack={tag}: {batch * iters / best:.0f} img/s, "
           f"{best / iters * 1e3:.2f} ms/step")
 
 
