@@ -91,22 +91,25 @@ def main():
         logits = model.apply({"params": params}, imgs)
         return jnp.mean(jnp.argmax(logits, -1) == labels)
 
+    # feed the jitted step through the prefetching input pipeline: the
+    # host→device transfer of batch k+1 is already in flight while batch k
+    # trains (utils/data.py)
+    from vit_pytorch_tpu.utils.data import minibatches, prefetch_to_device
+
     bs = args.batch_size
-    steps = len(x_train) // bs
     key = jax.random.PRNGKey(1)
+    data_rng = np.random.default_rng(1)
     t0 = time.time()
     for epoch in range(args.epochs):
-        key, perm_key = jax.random.split(key)
-        order = np.asarray(
-            jax.random.permutation(perm_key, len(x_train))
-        )
         losses = []
-        for s in range(steps):
-            idx = order[s * bs : (s + 1) * bs]
+        batches = prefetch_to_device(
+            minibatches({"x": x_train, "y": y_train}, bs, rng=data_rng),
+            depth=2,
+        )
+        for batch in batches:
             key, dk = jax.random.split(key)
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(x_train[idx]),
-                jnp.asarray(y_train[idx]), dk,
+                params, opt_state, batch["x"], batch["y"], dk,
             )
             losses.append(float(loss))
         acc = float(accuracy(params, jnp.asarray(x_test), jnp.asarray(y_test)))

@@ -17,7 +17,8 @@ Packages:
     nn/       — the shared block library (Attention, FeedForward, posemb zoo)
     ops/      — Pallas kernels (flash/short attention), packing, spectrogram
     parallel/ — mesh + pjit data/tensor-parallel training layer
-    utils/    — torch→jax weight converters, orbax checkpointing
+    utils/    — torch→jax weight converters, orbax checkpointing,
+                host→device prefetching input pipeline
 """
 
 from vit_pytorch_tpu.models.vit import ViT

@@ -1,0 +1,145 @@
+"""Host→device input pipeline.
+
+A jitted TPU step should never wait on the host: while step k computes,
+batch k+1 should already be crossing the host→device link.  The reference
+has no loader of its own — it feeds models from torch DataLoaders
+(reference examples/train_vit_decorr.py:29-41 builds a torchvision CIFAR
+loader); this module is the TPU-native equivalent for feeding jitted
+steps, single-chip or sharded over a mesh.
+
+Two overlap mechanisms compose:
+
+- ``jax.device_put`` is asynchronous — :func:`prefetch_to_device` issues
+  the transfer for up to ``depth`` upcoming batches before the consumer
+  asks for them, so the h2d DMA overlaps device compute.
+- ``host_workers=True`` additionally pulls the wrapped iterator on a
+  daemon thread, so host-side batch construction (decode, augmentation,
+  collation) overlaps both the DMA and the compute.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue as queue_mod
+import threading
+from typing import Iterable, Iterator
+
+import jax
+import numpy as np
+
+__all__ = ["minibatches", "prefetch_to_device"]
+
+
+def minibatches(data, batch_size: int, *, rng=None, drop_last: bool = True):
+    """Yield minibatch pytrees sliced from row-aligned host arrays.
+
+    ``data`` is any pytree of arrays sharing the same leading dimension
+    (e.g. ``{"images": x, "labels": y}``).  When ``rng`` (a
+    ``numpy.random.Generator``) is given, rows are visited in a fresh
+    shuffled order; pass a fresh ``rng`` (or reuse one statefully) per
+    epoch.  ``drop_last`` drops the ragged tail batch so every yielded
+    batch has a static shape — one compiled executable, no end-of-epoch
+    recompile.
+    """
+    leaves = jax.tree.leaves(data)
+    if not leaves:
+        return
+    n = leaves[0].shape[0]
+    for leaf in leaves:
+        if leaf.shape[0] != n:
+            raise ValueError(
+                f"minibatches: leading dims disagree ({leaf.shape[0]} vs {n})"
+            )
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+    end = n - (n % batch_size) if drop_last else n
+    for start in range(0, end, batch_size):
+        sel = order[start : start + batch_size]
+        yield jax.tree.map(lambda a: a[sel], data)
+
+
+def _host_thread_iter(it: Iterator, size: int) -> Iterator:
+    """Run ``it`` on a daemon thread with a bounded handoff queue.
+
+    Exceptions raised by the producer are re-raised in the consumer at the
+    point they interrupt the stream.
+    """
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, size))
+    end = object()
+    errs: list = []
+
+    def run():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            errs.append(e)
+        finally:
+            q.put(end)
+
+    threading.Thread(target=run, daemon=True, name="vit-tpu-host-prefetch").start()
+    while True:
+        item = q.get()
+        if item is end:
+            if errs:
+                raise errs[0]
+            return
+        yield item
+
+
+def prefetch_to_device(
+    iterator: Iterable,
+    *,
+    depth: int = 2,
+    sharding=None,
+    mesh=None,
+    host_workers: bool = False,
+) -> Iterator:
+    """Wrap an iterator of host-array pytrees; yield device-array pytrees
+    with up to ``depth`` batches already transferred ahead of the consumer.
+
+    ``sharding`` places every leaf (a single ``jax.sharding.Sharding``, or
+    a pytree of them matching the batch structure).  ``mesh`` is the common
+    shortcut: place batches leading-axis-sharded over the mesh's ``data``
+    axis (``parallel.mesh.batch_sharding``), matching what
+    ``make_sharded_train_step`` expects.  With neither, leaves go to the
+    default device.
+
+    ``host_workers=True`` pulls ``iterator`` on a background thread (see
+    module docstring).  The wrapped iterator is consumed at most ``depth``
+    batches ahead of what has been yielded.
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if mesh is not None:
+        if sharding is not None:
+            raise ValueError("pass sharding or mesh, not both")
+        from ..parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+
+    if sharding is None:
+        place = lambda batch: jax.tree.map(jax.device_put, batch)
+    elif isinstance(sharding, jax.sharding.Sharding):
+        place = lambda batch: jax.tree.map(
+            lambda a: jax.device_put(a, sharding), batch
+        )
+    else:
+        place = lambda batch: jax.tree.map(
+            lambda a, s: jax.device_put(a, s), batch, sharding
+        )
+
+    it = iter(iterator)
+    if host_workers:
+        it = _host_thread_iter(it, size=depth)
+
+    in_flight: collections.deque = collections.deque()
+    for batch in it:
+        in_flight.append(place(batch))
+        if len(in_flight) > depth:
+            yield in_flight.popleft()
+    while in_flight:
+        yield in_flight.popleft()
