@@ -112,6 +112,54 @@ def test_prefetch_propagates_producer_errors():
         list(prefetch_to_device(broken(), depth=2, host_workers=False))
 
 
+def test_prefetch_host_thread_stops_when_abandoned():
+    """A consumer that stops early must not leave the producer thread
+    blocked on a full queue pinning batches for the process lifetime."""
+    import gc
+    import threading
+    import time
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield {"x": np.full((4,), i, dtype=np.float32)}
+
+    stream = prefetch_to_device(gen(), depth=2, host_workers=True)
+    next(stream)
+    next(stream)
+    stream.close()
+    del stream
+    gc.collect()
+
+    def alive():
+        return any(
+            t.name == "vit-tpu-host-prefetch" and t.is_alive()
+            for t in threading.enumerate()
+        )
+
+    deadline = time.time() + 5.0
+    while time.time() < deadline and alive():
+        time.sleep(0.05)
+    assert not alive(), "producer thread still running after consumer left"
+    assert len(produced) < 1000, "producer drained the whole stream anyway"
+
+
+def test_prefetch_validates_eagerly():
+    """Bad arguments raise at call time, not at the first next()."""
+    with pytest.raises(ValueError, match="depth"):
+        prefetch_to_device(iter([]), depth=0)
+
+
+def test_minibatches_unshuffled_yields_views():
+    """Without rng, batches are zero-copy views of the source arrays."""
+    data = {"x": np.arange(32, dtype=np.float32).reshape(8, 4)}
+    batch = next(minibatches(data, 4))
+    assert batch["x"].base is not None  # a view, not a copy
+    assert np.shares_memory(batch["x"], data["x"])
+
+
 def test_prefetch_bad_args():
     with pytest.raises(ValueError, match="depth"):
         next(prefetch_to_device(iter([]), depth=0))

@@ -248,6 +248,29 @@ def test_stack_group_gate(monkeypatch):
     # a forced group that cannot fit VMEM shrinks to what fits
     monkeypatch.setenv("VIT_TPU_STACK_LAYERS", "64")
     assert whole_layer_stack_group(*vitb, depth=64) == 6
+    # malformed env value names the variable instead of exploding inside
+    # model tracing with a bare int() error
+    monkeypatch.setenv("VIT_TPU_STACK_LAYERS", "six")
+    with pytest.raises(ValueError, match="VIT_TPU_STACK_LAYERS"):
+        whole_layer_stack_group(*vitb, depth=12)
+
+
+def test_stack_group_vmem_shrink(monkeypatch):
+    """The VMEM-fit loop itself (not the _STACK_MAX_LAYERS clamp) must bind:
+    with a lowered budget the forced group shrinks to exactly the largest g
+    with base + (g-1)*per_layer <= limit."""
+    from vit_pytorch_tpu.ops import fused_block as fb
+
+    vitb = ((128, 197, 768), jnp.bfloat16, 12, 64, 768, 3072)
+    monkeypatch.setenv("VIT_TPU_STACK_LAYERS", "6")
+    base = fb._vmem_bytes_whole(197, 768, 768, 3072, 2, fb._whole_layer_ips(128, 197, 768))
+    per_layer = fb._layer_weight_bytes(768, 768, 3072, 2)
+    # budget that admits exactly 3 layers' extra weights
+    monkeypatch.setattr(fb, "_STACK_EST_LIMIT", base + 2 * per_layer)
+    assert fb.whole_layer_stack_group(*vitb, depth=12) == 3
+    # budget below even the single-layer working set floors at 1 (per-layer)
+    monkeypatch.setattr(fb, "_STACK_EST_LIMIT", base - 1)
+    assert fb.whole_layer_stack_group(*vitb, depth=12) == 1
 
 
 def test_stack_rejects_mixed_biases():

@@ -41,14 +41,21 @@ REEXPORTS = {
 
 
 def find_tests(stem: str, homes):
-    """Tests that import the module (by dotted path) or name the stem."""
-    pats = [re.compile(rf"vit_pytorch_tpu\.(?:{'|'.join(SUBPKGS)}|ops)\.{stem}\b")]
+    """Tests that import one of the row's mapped modules by dotted path
+    (or, for top-level re-exports, by class name).  Keyed on the actual
+    ``homes`` so an unmapped row can never show test evidence."""
+    pats = []
+    for home in homes:
+        dotted = home[: -len(".py")].replace("/", r"\.")
+        pats.append(re.compile(rf"{dotted}\b"))
     if stem in REEXPORTS:
         pats.append(
             re.compile(
                 rf"from vit_pytorch_tpu import [^\n]*\b{REEXPORTS[stem]}\b"
             )
         )
+    if not pats:
+        return []
     hits = set()
     tdir = os.path.join(REPO, "tests")
     for fname in sorted(os.listdir(tdir)):

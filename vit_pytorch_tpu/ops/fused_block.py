@@ -1506,7 +1506,15 @@ def whole_layer_stack_group(
     if not whole_layer_supported(x_shape, dtype, heads, dim_head, dim, mlp_dim):
         return 1
     forced = os.environ.get("VIT_TPU_STACK_LAYERS")
-    want = int(forced) if forced else _STACK_DEFAULT_GROUP
+    if forced:
+        try:
+            want = int(forced)
+        except ValueError:
+            raise ValueError(
+                f"VIT_TPU_STACK_LAYERS must be an integer, got {forced!r}"
+            ) from None
+    else:
+        want = _STACK_DEFAULT_GROUP
     if want <= 1:
         return 1
     b, n, d = x_shape

@@ -52,10 +52,15 @@ def minibatches(data, batch_size: int, *, rng=None, drop_last: bool = True):
             )
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
-    order = np.arange(n)
-    if rng is not None:
-        rng.shuffle(order)
     end = n - (n % batch_size) if drop_last else n
+    if rng is None:
+        # contiguous zero-copy views — no per-batch host memcpy
+        for start in range(0, end, batch_size):
+            stop = start + batch_size
+            yield jax.tree.map(lambda a: a[start:stop], data)
+        return
+    order = np.arange(n)
+    rng.shuffle(order)
     for start in range(0, end, batch_size):
         sel = order[start : start + batch_size]
         yield jax.tree.map(lambda a: a[sel], data)
@@ -65,29 +70,46 @@ def _host_thread_iter(it: Iterator, size: int) -> Iterator:
     """Run ``it`` on a daemon thread with a bounded handoff queue.
 
     Exceptions raised by the producer are re-raised in the consumer at the
-    point they interrupt the stream.
+    point they interrupt the stream.  If the consumer abandons the
+    generator early (break / exception / GC), its ``finally`` signals the
+    producer to stop, so the thread exits instead of blocking forever on a
+    full queue while pinning batches in memory.
     """
     q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, size))
     end = object()
+    stop = threading.Event()
     errs: list = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def run():
         try:
             for item in it:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # noqa: BLE001 — forwarded to consumer
             errs.append(e)
         finally:
-            q.put(end)
+            _put(end)
 
     threading.Thread(target=run, daemon=True, name="vit-tpu-host-prefetch").start()
-    while True:
-        item = q.get()
-        if item is end:
-            if errs:
-                raise errs[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                if errs:
+                    raise errs[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def prefetch_to_device(
@@ -109,8 +131,15 @@ def prefetch_to_device(
     default device.
 
     ``host_workers=True`` pulls ``iterator`` on a background thread (see
-    module docstring).  The wrapped iterator is consumed at most ``depth``
-    batches ahead of what has been yielded.
+    module docstring).  Lookahead bound: without ``host_workers`` the
+    wrapped iterator is consumed at most ``depth + 1`` batches ahead of
+    what has been yielded; with it, the producer thread buffers up to
+    ``depth`` more host batches in its handoff queue (``2 * depth + 2``
+    total) — size ``depth`` against host memory accordingly.
+
+    Argument validation happens at call time (this returns a started
+    generator), so a bad ``depth`` or a ``mesh``+``sharding`` conflict
+    raises here, not at the first ``next()`` deep inside a training loop.
     """
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
@@ -136,10 +165,13 @@ def prefetch_to_device(
     if host_workers:
         it = _host_thread_iter(it, size=depth)
 
-    in_flight: collections.deque = collections.deque()
-    for batch in it:
-        in_flight.append(place(batch))
-        if len(in_flight) > depth:
+    def _stream() -> Iterator:
+        in_flight: collections.deque = collections.deque()
+        for batch in it:
+            in_flight.append(place(batch))
+            if len(in_flight) > depth:
+                yield in_flight.popleft()
+        while in_flight:
             yield in_flight.popleft()
-    while in_flight:
-        yield in_flight.popleft()
+
+    return _stream()
