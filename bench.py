@@ -120,8 +120,38 @@ def measure_train_step(batch=1024, steps=3):
     return best * 1e3  # ms
 
 
+def _tpu_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe TPU availability in a subprocess with a hard timeout.
+
+    The axon plugin blocks forever inside first backend init when the TPU
+    tunnel is down (C-level hang — not interruptible in-process), so probe
+    from a child process: a dead tunnel becomes a clean diagnostic + exit
+    instead of an indefinite hang of the whole bench.  Healthy init is
+    seconds; 300 s is margin for a degraded-but-alive tunnel.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from vit_pytorch_tpu import ViT
+
+    if not _tpu_reachable():
+        print(
+            "# TPU unreachable: backend init did not complete within the probe "
+            "timeout (axon tunnel outage?) — no measurement taken",
+            file=sys.stderr,
+        )
+        sys.exit(3)
 
     # bs=128 is the measured serving sweet spot on v5e: throughput is flat
     # from 128→512 (2712/2597/2637 img/s) but latency is 4× lower at 128
