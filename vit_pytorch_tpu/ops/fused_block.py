@@ -43,6 +43,25 @@ _VMEM_LIMIT = 12 * 1024 * 1024
 _LOG2E = 1.4426950408889634  # log2(e)
 
 
+def _fwd_compiler_params(vmem_limit_bytes: int = None):
+    """CompilerParams for the CARRY-FREE forward kernels (each grid step
+    writes a distinct output block, no cross-step state).  Opt-in A/B knob:
+    ``VIT_TPU_DIM_SEMANTICS=parallel`` marks the 1-D batch grid parallel so
+    Mosaic may schedule/pipeline steps more aggressively.  Never applied to
+    the whole-layer backward, whose dW accumulators carry across grid steps
+    and require sequential ("arbitrary") semantics.  Returns None when
+    there is nothing to set (keeps the default-params fast path)."""
+    import os
+
+    kw = {}
+    if vmem_limit_bytes is not None:
+        kw["vmem_limit_bytes"] = vmem_limit_bytes
+    ds = os.environ.get("VIT_TPU_DIM_SEMANTICS")
+    if ds:
+        kw["dimension_semantics"] = (ds,)
+    return pltpu.CompilerParams(**kw) if kw else None
+
+
 def _softmax_from_dots(dots_f32, scale):
     """softmax(dots * scale) along the last axis, written for the VPU:
     scale and log2(e) fold into ONE f32 multiply and the exponent runs as
@@ -421,6 +440,7 @@ def _pallas_forward(
         grid=(b // ips,),
         in_specs=in_specs,
         out_specs=batch_spec,
+        compiler_params=None if interpret else _fwd_compiler_params(),
         interpret=interpret,
     )(*operands)
 
@@ -940,7 +960,7 @@ def _layer_pallas_forward(
     params = (
         None
         if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        else _fwd_compiler_params(vmem_limit_bytes=64 * 1024 * 1024)
     )
     out_shape = jax.ShapeDtypeStruct((b, n, dim), x.dtype)
     result = pl.pallas_call(
@@ -1591,7 +1611,7 @@ def _stack_pallas_forward(x, layers, *, heads, dim_head, scale, eps, interpret=F
     params = (
         None
         if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+        else _fwd_compiler_params(vmem_limit_bytes=110 * 1024 * 1024)
     )
     return pl.pallas_call(
         kern,
