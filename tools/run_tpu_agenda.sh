@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-3 hardware measurement agenda — run when the axon tunnel is healthy.
+# Each step is individually time-bounded; failures don't stop the rest.
+# Usage:  bash tools/run_tpu_agenda.sh 2>&1 | tee /tmp/tpu_agenda.log
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  echo "=== [$(date -u +%H:%M:%S)] $* ==="
+  timeout 1500 "$@"
+  echo "=== rc=$? ==="
+}
+
+# 0) baseline re-measure (stack kernel refactor shares _layer_rows with the
+#    per-layer kernel — confirm no regression vs the 4,237-4,285 band)
+run python bench.py
+
+# 1) in-model stack sweep, flagship bs=128 (unmeasured at g=2-4; L=6 was -2%)
+run env VIT_TPU_DISABLE_STACK=1 python tools/bench_stack_model.py
+for g in 2 3 4; do
+  run env VIT_TPU_STACK_LAYERS=$g python tools/bench_stack_model.py
+done
+
+# 2) serving regime: fewer grid steps per call -> boundaries matter more
+for bs in 8 16; do
+  run env BATCH=$bs VIT_TPU_DISABLE_STACK=1 python tools/bench_stack_model.py
+  for g in 3 6; do
+    run env BATCH=$bs VIT_TPU_STACK_LAYERS=$g python tools/bench_stack_model.py
+  done
+done
+
+# 3) dimension_semantics A/B on the carry-free forward kernels
+run env VIT_TPU_DISABLE_STACK=1 VIT_TPU_DIM_SEMANTICS=parallel python tools/bench_stack_model.py
+run env VIT_TPU_DIM_SEMANTICS=parallel python bench.py
+
+# 4) the 10 tpu-marked kernel tests on the real chip
+run python -m pytest tests/ -m tpu -p no:warnings --tb=short
+
+echo "=== agenda complete ==="
