@@ -230,3 +230,86 @@ class Predictor:
             self._run_padded(x[i : i + big]) for i in range(0, k, big)
         ]
         return jax.tree.map(lambda *os: jnp.concatenate(os, axis=0), *outs)
+
+
+# ---------------------------------------------------------------------------
+# Portable model artifacts (jax.export / StableHLO)
+#
+# The reference's deployment story is torch's (state_dict + python code, or
+# torchscript/ONNX).  The TPU-native equivalent is a serialized StableHLO
+# program with a SYMBOLIC batch dimension: one artifact serves any batch
+# size, can be loaded in a process that does not have (or import) the model
+# code, and recompiles locally on load — which also sidesteps the axon
+# plugin's broken compiled-executable serialization.  The artifact contains
+# the PROGRAM only; parameters ship separately (orbax checkpoints), so
+# weight updates do not re-export.
+# ---------------------------------------------------------------------------
+
+
+def export_model(
+    model,
+    variables,
+    example_shape: Sequence[int],
+    *,
+    input_dtype=jnp.float32,
+    batch_symbol: str = "b",
+    platforms: Optional[Sequence[str]] = None,
+    path: Optional[str] = None,
+    apply_fn: Optional[Callable] = None,
+    **apply_kwargs,
+) -> bytes:
+    """Serialize ``model.apply(variables, images)`` as a portable artifact.
+
+    The batch dimension is exported symbolically (``batch_symbol``), so the
+    loaded program accepts any batch size without re-export.  ``variables``
+    is used only for its shapes/dtypes — the artifact takes parameters as a
+    call argument, pairing naturally with checkpoints.
+
+    ``platforms`` pins the lowering targets (e.g. ``("tpu", "cpu")``);
+    default is the export-time backend.  Kernel dispatch (Pallas vs XLA) is
+    decided at trace time: export from a CPU process for a
+    run-anywhere XLA artifact, export on TPU for the kernel-optimal one.
+
+    Returns the serialized bytes; also writes ``path`` when given.
+    """
+    from jax import export as jexport
+
+    if apply_fn is None:
+        def apply_fn(v, images):
+            return model.apply(v, images, **apply_kwargs)
+
+    (b,) = jexport.symbolic_shape(batch_symbol)
+    xspec = jax.ShapeDtypeStruct((b, *tuple(example_shape)), input_dtype)
+    vspec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        variables,
+    )
+    kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    exported = jexport.export(jax.jit(apply_fn), **kw)(vspec, xspec)
+    blob = exported.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_model(blob_or_path) -> Callable:
+    """Load an :func:`export_model` artifact; returns
+    ``fn(variables, images) -> outputs`` (jit-compatible, any batch size).
+
+    Accepts the raw bytes or a filesystem path.  The program recompiles
+    locally on first call — no model code import needed.
+    """
+    from jax import export as jexport
+
+    if isinstance(blob_or_path, str):
+        with open(blob_or_path, "rb") as f:
+            blob = f.read()
+    else:
+        blob = blob_or_path
+    exported = jexport.deserialize(blob)
+
+    def fn(variables, images):
+        return exported.call(variables, images)
+
+    return fn
