@@ -110,3 +110,36 @@ def test_loaded_model_composes_with_jit(_vit):
 
     out = serve(variables, jnp.ones((2, 3, 32, 32)))
     np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_export_mesh_sharded_serving(_vit):
+    """Multi-chip serving artifact: exported with the Predictor layout
+    (params replicated, batch on 'data'), loaded onto an equal-size mesh,
+    must match the unsharded forward for every admissible batch size."""
+    from vit_pytorch_tpu.parallel.mesh import make_mesh
+
+    model, variables = _vit
+    mesh = make_mesh(data=4, model=2, devices=jax.devices("cpu"))
+    blob = export_model(model, variables, (3, 32, 32), mesh=mesh)
+    fn = load_model(blob, mesh=mesh)
+    for k in (4, 8):
+        x = jax.random.normal(jax.random.PRNGKey(k), (k, 3, 32, 32))
+        out = fn(variables, x)
+        assert "data" in str(out.sharding.spec) or out.sharding.is_fully_replicated
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(model.apply(variables, x)),
+            atol=1e-5, rtol=1e-5,
+        )
+
+
+def test_export_mesh_device_count_checked(_vit):
+    from vit_pytorch_tpu.parallel.mesh import make_mesh
+
+    model, variables = _vit
+    mesh8 = make_mesh(data=8, devices=jax.devices("cpu"))
+    blob = export_model(model, variables, (3, 32, 32), mesh=mesh8)
+    with pytest.raises(ValueError, match="8 devices"):
+        load_model(blob)  # single-device load of an 8-device artifact
+    mesh4 = make_mesh(data=4, devices=jax.devices("cpu")[:4])
+    with pytest.raises(ValueError, match="8 devices"):
+        load_model(blob, mesh=mesh4)

@@ -256,6 +256,7 @@ def export_model(
     platforms: Optional[Sequence[str]] = None,
     path: Optional[str] = None,
     apply_fn: Optional[Callable] = None,
+    mesh: Optional[Mesh] = None,
     **apply_kwargs,
 ) -> bytes:
     """Serialize ``model.apply(variables, images)`` as a portable artifact.
@@ -270,6 +271,12 @@ def export_model(
     decided at trace time: export from a CPU process for a
     run-anywhere XLA artifact, export on TPU for the kernel-optimal one.
 
+    ``mesh`` exports a MULTI-CHIP serving program with the Predictor's
+    layout baked in (params replicated, batch sharded over the ``'data'``
+    axis — XLA inserts the collectives).  The symbolic batch is constrained
+    to multiples of the data-axis size, and the artifact must be loaded
+    with an equal-size mesh (``load_model(..., mesh=...)``).
+
     Returns the serialized bytes; also writes ``path`` when given.
     """
     from jax import export as jexport
@@ -278,6 +285,17 @@ def export_model(
         def apply_fn(v, images):
             return model.apply(v, images, **apply_kwargs)
 
+    jit_kw = {}
+    if mesh is not None:
+        if "data" not in mesh.axis_names:
+            raise ValueError(f"mesh must have a 'data' axis, got {mesh.axis_names}")
+        ndata = mesh.shape["data"]
+        batch_symbol = f"{ndata}*{batch_symbol}" if ndata > 1 else batch_symbol
+        jit_kw["in_shardings"] = (
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P("data", *([None] * len(tuple(example_shape))))),
+        )
+
     (b,) = jexport.symbolic_shape(batch_symbol)
     xspec = jax.ShapeDtypeStruct((b, *tuple(example_shape)), input_dtype)
     vspec = jax.tree.map(
@@ -285,7 +303,7 @@ def export_model(
         variables,
     )
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
-    exported = jexport.export(jax.jit(apply_fn), **kw)(vspec, xspec)
+    exported = jexport.export(jax.jit(apply_fn, **jit_kw), **kw)(vspec, xspec)
     blob = exported.serialize()
     if path is not None:
         with open(path, "wb") as f:
@@ -293,12 +311,17 @@ def export_model(
     return blob
 
 
-def load_model(blob_or_path) -> Callable:
+def load_model(blob_or_path, *, mesh: Optional[Mesh] = None) -> Callable:
     """Load an :func:`export_model` artifact; returns
     ``fn(variables, images) -> outputs`` (jit-compatible, any batch size).
 
     Accepts the raw bytes or a filesystem path.  The program recompiles
     locally on first call — no model code import needed.
+
+    An artifact exported with a mesh must be loaded with a mesh of the
+    same device count; ``fn`` then places params replicated and the batch
+    on the ``'data'`` axis before each call (a no-op for already-placed
+    arrays), matching the layout baked in at export.
     """
     from jax import export as jexport
 
@@ -308,8 +331,31 @@ def load_model(blob_or_path) -> Callable:
     else:
         blob = blob_or_path
     exported = jexport.deserialize(blob)
+    if mesh is not None and mesh.size != exported.nr_devices:
+        raise ValueError(
+            f"artifact was exported for {exported.nr_devices} devices; "
+            f"the given mesh has {mesh.size}"
+        )
+    if mesh is None and exported.nr_devices > 1:
+        raise ValueError(
+            f"artifact was exported for {exported.nr_devices} devices — "
+            "pass load_model(..., mesh=...) with an equal-size mesh"
+        )
 
-    def fn(variables, images):
-        return exported.call(variables, images)
+    if mesh is None:
+        def fn(variables, images):
+            return exported.call(variables, images)
+    else:
+        rep = NamedSharding(mesh, P())
+
+        def fn(variables, images):
+            images = jnp.asarray(images)
+            batch_sh = NamedSharding(
+                mesh, P("data", *([None] * (images.ndim - 1)))
+            )
+            variables = jax.device_put(
+                variables, jax.tree.map(lambda _: rep, variables)
+            )
+            return exported.call(variables, jax.device_put(images, batch_sh))
 
     return fn
