@@ -120,8 +120,8 @@ def measure_train_step(batch=1024, steps=3):
     return best * 1e3  # ms
 
 
-def _tpu_reachable(timeout_s: float = 300.0) -> bool:
-    """Probe TPU availability in a subprocess with a hard timeout.
+def _tpu_reachable(timeout_s: float = 300.0):
+    """Probe TPU availability in a subprocess; returns (ok, reason).
 
     The axon plugin blocks forever inside first backend init when the TPU
     tunnel is down (C-level hang — not interruptible in-process), so probe
@@ -137,20 +137,23 @@ def _tpu_reachable(timeout_s: float = 300.0) -> bool:
             timeout=timeout_s,
             capture_output=True,
         )
-        return r.returncode == 0
     except subprocess.TimeoutExpired:
-        return False
+        return False, (
+            f"backend init did not complete within {timeout_s:.0f}s "
+            "(axon tunnel outage?)"
+        )
+    if r.returncode != 0:
+        tail = (r.stderr or b"").decode(errors="replace")[-500:]
+        return False, f"probe exited rc={r.returncode}; stderr tail:\n{tail}"
+    return True, ""
 
 
 def main():
     from vit_pytorch_tpu import ViT
 
-    if not _tpu_reachable():
-        print(
-            "# TPU unreachable: backend init did not complete within the probe "
-            "timeout (axon tunnel outage?) — no measurement taken",
-            file=sys.stderr,
-        )
+    ok, why = _tpu_reachable()
+    if not ok:
+        print(f"# TPU unreachable — no measurement taken: {why}", file=sys.stderr)
         sys.exit(3)
 
     # bs=128 is the measured serving sweet spot on v5e: throughput is flat

@@ -143,3 +143,28 @@ def test_export_mesh_device_count_checked(_vit):
     mesh4 = make_mesh(data=4, devices=jax.devices("cpu")[:4])
     with pytest.raises(ValueError, match="8 devices"):
         load_model(blob, mesh=mesh4)
+
+
+def test_export_accepts_pathlib_and_host_params(tmp_path, _vit):
+    """load_model takes os.PathLike; export_model reads shapes/dtypes from
+    host-numpy variables without materializing them on device."""
+    model, variables = _vit
+    host_vars = jax.tree.map(lambda a: np.asarray(a), variables)
+    path = tmp_path / "vit.stablehlo"
+    export_model(model, host_vars, (3, 32, 32), path=path)
+    fn = load_model(path)  # pathlib.Path, not str
+    x = jnp.ones((2, 3, 32, 32))
+    np.testing.assert_allclose(
+        np.asarray(fn(host_vars, x)),
+        np.asarray(model.apply(variables, x)),
+        atol=1e-6, rtol=1e-6,
+    )
+
+
+def test_export_rejects_kwargs_with_custom_apply_fn(_vit):
+    model, variables = _vit
+    with pytest.raises(ValueError, match="apply_kwargs"):
+        export_model(
+            model, variables, (3, 32, 32),
+            apply_fn=lambda v, x: model.apply(v, x), train=False,
+        )

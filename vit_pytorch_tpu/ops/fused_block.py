@@ -58,6 +58,11 @@ def _fwd_compiler_params(vmem_limit_bytes: int = None):
         kw["vmem_limit_bytes"] = vmem_limit_bytes
     ds = os.environ.get("VIT_TPU_DIM_SEMANTICS")
     if ds:
+        if ds not in ("parallel", "arbitrary"):
+            raise ValueError(
+                "VIT_TPU_DIM_SEMANTICS must be 'parallel' or 'arbitrary', "
+                f"got {ds!r}"
+            )
         kw["dimension_semantics"] = (ds,)
     return pltpu.CompilerParams(**kw) if kw else None
 

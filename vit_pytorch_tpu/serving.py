@@ -46,6 +46,17 @@ def _cast_floating(tree, dtype):
     return jax.tree.map(cast, tree)
 
 
+def _serving_shardings(mesh: Mesh, example_rank: int):
+    """THE serving layout, defined once: params replicated, batch sharded
+    over the mesh's ``'data'`` axis.  Shared by Predictor, export_model,
+    and load_model so the three can never drift."""
+    if "data" not in mesh.axis_names:
+        raise ValueError(f"mesh must have a 'data' axis, got {mesh.axis_names}")
+    param_sharding = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P("data", *([None] * example_rank)))
+    return param_sharding, batch_sharding
+
+
 class Predictor:
     """Bucket-batched, AOT-compiled inference wrapper for any zoo model.
 
@@ -102,8 +113,9 @@ class Predictor:
         self._apply = apply_fn
 
         if mesh is not None:
-            if "data" not in mesh.axis_names:
-                raise ValueError(f"mesh must have a 'data' axis, got {mesh.axis_names}")
+            self._param_sharding, self._batch_sharding = _serving_shardings(
+                mesh, len(self.example_shape)
+            )
             ndata = mesh.shape["data"]
             bad = [b for b in self.batch_sizes if b % ndata]
             if bad:
@@ -111,10 +123,6 @@ class Predictor:
                     f"bucket sizes {bad} are not multiples of the data-axis "
                     f"size {ndata} — each bucket shards evenly over 'data'"
                 )
-            self._param_sharding = NamedSharding(mesh, P())
-            self._batch_sharding = NamedSharding(
-                mesh, P("data", *([None] * len(self.example_shape)))
-            )
         else:
             self._param_sharding = None
             self._batch_sharding = None
@@ -284,22 +292,25 @@ def export_model(
     if apply_fn is None:
         def apply_fn(v, images):
             return model.apply(v, images, **apply_kwargs)
+    elif apply_kwargs:
+        raise ValueError(
+            f"apply_kwargs {sorted(apply_kwargs)} are folded into the DEFAULT "
+            "apply_fn — with a custom apply_fn, bake them into it instead"
+        )
 
     jit_kw = {}
     if mesh is not None:
-        if "data" not in mesh.axis_names:
-            raise ValueError(f"mesh must have a 'data' axis, got {mesh.axis_names}")
+        param_sh, batch_sh = _serving_shardings(mesh, len(tuple(example_shape)))
         ndata = mesh.shape["data"]
         batch_symbol = f"{ndata}*{batch_symbol}" if ndata > 1 else batch_symbol
-        jit_kw["in_shardings"] = (
-            NamedSharding(mesh, P()),
-            NamedSharding(mesh, P("data", *([None] * len(tuple(example_shape))))),
-        )
+        jit_kw["in_shardings"] = (param_sh, batch_sh)
 
     (b,) = jexport.symbolic_shape(batch_symbol)
     xspec = jax.ShapeDtypeStruct((b, *tuple(example_shape)), input_dtype)
+    # shapes/dtypes only — never materialize the leaves (host numpy params
+    # must not pay a device transfer just to be inspected)
     vspec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
         variables,
     )
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
@@ -323,9 +334,11 @@ def load_model(blob_or_path, *, mesh: Optional[Mesh] = None) -> Callable:
     on the ``'data'`` axis before each call (a no-op for already-placed
     arrays), matching the layout baked in at export.
     """
+    import os
+
     from jax import export as jexport
 
-    if isinstance(blob_or_path, str):
+    if isinstance(blob_or_path, (str, os.PathLike)):
         with open(blob_or_path, "rb") as f:
             blob = f.read()
     else:
@@ -346,13 +359,9 @@ def load_model(blob_or_path, *, mesh: Optional[Mesh] = None) -> Callable:
         def fn(variables, images):
             return exported.call(variables, images)
     else:
-        rep = NamedSharding(mesh, P())
-
         def fn(variables, images):
             images = jnp.asarray(images)
-            batch_sh = NamedSharding(
-                mesh, P("data", *([None] * (images.ndim - 1)))
-            )
+            rep, batch_sh = _serving_shardings(mesh, images.ndim - 1)
             variables = jax.device_put(
                 variables, jax.tree.map(lambda _: rep, variables)
             )
