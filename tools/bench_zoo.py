@@ -1,0 +1,229 @@
+"""Inference/pretraining throughput for the five BASELINE.json parity
+configs on one TPU chip — perf breadth beyond the flagship ViT-B bench.
+
+Configs (BASELINE.md "Parity configs"):
+  1. vit_readme   — ViT README example (dim 1024, depth 6, heads 16, patch 32, 256²)
+  2. simple_vit   — SimpleViT, same README dims
+  3. navit_packed — NaViT-B packed variable-resolution inference (flash kernel
+                    with segment-id tile skipping; token dropout off at eval)
+  4. max_vit      — MaxViT README config (MBConv + block/grid attention)
+  5. vivit        — ViViT factorized encoder, README video config
+  6. mae_pretrain — MAE pretraining step (masking + encoder + decoder + MSE
+                    + grads + adamw) over the README ViT encoder
+
+Usage:  python tools/bench_zoo.py [config ...]     # default: all
+        SMOKE=1 python tools/bench_zoo.py          # tiny shapes, CPU-runnable
+Prints one line per config: name, img/s (videos/s for vivit), ms/step.
+Methodology matches bench.py: bf16 params+inputs, chained steps inside one
+jit (the axon tunnel charges ~30 ms per dispatch), best of 3.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# SMOKE=1: shrink batch/iters so the whole sweep runs on CPU in minutes —
+# a code-path correctness check (used by tests), not a measurement
+SMOKE = bool(int(os.environ.get("SMOKE", "0")))
+
+
+def _size(batch, iters):
+    return (max(2, batch // 128), 2) if SMOKE else (batch, iters)
+
+
+def _bf16(tree):
+    return jax.tree.map(lambda x: x.astype(jnp.bfloat16), tree)
+
+
+def _measure(fn, *args, repeats=3):
+    """fn(*args) -> scalar; returns best wall seconds over `repeats`."""
+    float(fn(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _chained_forward(model, params, x, iters, **apply_kw):
+    @jax.jit
+    def loop(params, x):
+        def body(i, acc):
+            out = model.apply(params, x * (1.0 + i.astype(x.dtype) * 1e-6), **apply_kw)
+            return acc + jnp.sum(out.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    return _measure(loop, params, x) / iters
+
+
+def bench_vit_readme():
+    from vit_pytorch_tpu import ViT
+
+    batch, iters = _size(256, 30)
+    model = ViT(image_size=256, patch_size=32, num_classes=1000, dim=1024,
+                depth=6, heads=16, mlp_dim=2048, dropout=0.1, emb_dropout=0.1)
+    img = jax.random.normal(jax.random.PRNGKey(0), (batch, 3, 256, 256), jnp.bfloat16)
+    params = _bf16(model.init(jax.random.PRNGKey(0), img[:1].astype(jnp.float32)))
+    s = _chained_forward(model, params, img, iters)
+    print(f"vit_readme    bs={batch}: {batch / s:.0f} img/s, {s * 1e3:.2f} ms/step")
+
+
+def bench_simple_vit():
+    from vit_pytorch_tpu import SimpleViT
+
+    batch, iters = _size(256, 30)
+    model = SimpleViT(image_size=256, patch_size=32, num_classes=1000, dim=1024,
+                      depth=6, heads=16, mlp_dim=2048)
+    img = jax.random.normal(jax.random.PRNGKey(0), (batch, 3, 256, 256), jnp.bfloat16)
+    params = _bf16(model.init(jax.random.PRNGKey(0), img[:1].astype(jnp.float32)))
+    s = _chained_forward(model, params, img, iters)
+    print(f"simple_vit    bs={batch}: {batch / s:.0f} img/s, {s * 1e3:.2f} ms/step")
+
+
+def bench_navit_packed():
+    from vit_pytorch_tpu.models.na_vit import NaViT
+    from vit_pytorch_tpu.ops.packing import pack_images
+
+    patch, max_seq, iters = 16, 2048, (2 if SMOKE else 10)
+    n_images, pad_groups = (12, 2) if SMOKE else (120, 16)
+    model = NaViT(image_size=256, patch_size=patch, num_classes=1000,
+                  dim=768, depth=12, heads=12, mlp_dim=3072,
+                  token_dropout_prob=0.25)
+    rng = np.random.default_rng(0)
+    resolutions = [(256, 256), (224, 224), (160, 256), (256, 160),
+                   (128, 128), (96, 192)]
+    images = []
+    for _ in range(n_images):
+        h, w = resolutions[rng.integers(len(resolutions))]
+        images.append(rng.normal(size=(3, h, w)).astype(np.float32))
+    packed = pack_images(images, patch_size=patch, max_seq_len=max_seq,
+                         token_dropout_prob=None, train=False, rng=rng,
+                         pad_groups_to=pad_groups, max_images=16)
+    packed = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        packed,
+    )
+    params = _bf16(model.init(jax.random.PRNGKey(0), packed, train=False))
+    n_img = len(images)
+
+    @jax.jit
+    def loop(params, packed):
+        def body(i, acc):
+            out = model.apply(params, packed, train=False)
+            return acc + jnp.sum(out.astype(jnp.float32)) * (1.0 + i * 0)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    s = _measure(loop, params, packed) / iters
+    print(f"navit_packed  {n_img} var-res imgs/step: {n_img / s:.0f} img/s, "
+          f"{s * 1e3:.2f} ms/step")
+
+
+def bench_max_vit():
+    from vit_pytorch_tpu.models.max_vit import MaxViT
+
+    batch, iters = _size(128, 20)
+    model = MaxViT(num_classes=1000, dim_conv_stem=64, dim=96, dim_head=32,
+                   depth=(2, 2, 5, 2), window_size=7, dropout=0.1)
+    img = jax.random.normal(jax.random.PRNGKey(0), (batch, 3, 224, 224), jnp.bfloat16)
+    params = _bf16(model.init(jax.random.PRNGKey(0), img[:1].astype(jnp.float32)))
+    s = _chained_forward(model, params, img, iters)
+    print(f"max_vit       bs={batch}: {batch / s:.0f} img/s, {s * 1e3:.2f} ms/step")
+
+
+def bench_vivit():
+    from vit_pytorch_tpu.models.vivit import ViViT
+
+    batch, iters = _size(16, 20)
+    model = ViViT(image_size=128, image_patch_size=16, frames=16,
+                  frame_patch_size=2, num_classes=1000, dim=1024,
+                  spatial_depth=6, temporal_depth=6, heads=8, mlp_dim=2048)
+    video = jax.random.normal(
+        jax.random.PRNGKey(0), (batch, 3, 16, 128, 128), jnp.bfloat16
+    )
+    params = _bf16(model.init(jax.random.PRNGKey(0), video[:1].astype(jnp.float32)))
+    s = _chained_forward(model, params, video, iters)
+    print(f"vivit         bs={batch}: {batch / s:.1f} videos/s, {s * 1e3:.2f} ms/step")
+
+
+def bench_mae_pretrain():
+    import optax
+
+    from vit_pytorch_tpu import ViT
+    from vit_pytorch_tpu.ssl.mae import MAE
+
+    batch, iters = _size(256, 10)
+    encoder = ViT(image_size=256, patch_size=32, num_classes=1000, dim=1024,
+                  depth=6, heads=8, mlp_dim=2048)
+    model = MAE(encoder=encoder, masking_ratio=0.75, decoder_dim=512,
+                decoder_depth=6)
+    img = jax.random.normal(jax.random.PRNGKey(0), (batch, 3, 256, 256), jnp.bfloat16)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        img[:1].astype(jnp.float32),
+    )
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def loop(params, opt_state, img, rng):
+        def body(i, carry):
+            params, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+
+            def loss_fn(p):
+                return model.apply(p, img, train=True,
+                                   rngs={"mask": sub, "dropout": sub})
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, rng
+
+        params, opt_state, rng = jax.lax.fori_loop(
+            0, iters, body, (params, opt_state, rng)
+        )
+        # reduce over the updated params so nothing in the loop is DCE'd
+        return jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x.astype(jnp.float32))),
+            params,
+            jnp.float32(0.0),
+        )
+
+    s = _measure(loop, params, opt_state, img, jax.random.PRNGKey(2)) / iters
+    print(f"mae_pretrain  bs={batch}: {batch / s:.0f} img/s/trainstep, "
+          f"{s * 1e3:.2f} ms/step")
+
+
+ALL = {
+    "vit_readme": bench_vit_readme,
+    "simple_vit": bench_simple_vit,
+    "navit_packed": bench_navit_packed,
+    "max_vit": bench_max_vit,
+    "vivit": bench_vivit,
+    "mae_pretrain": bench_mae_pretrain,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        if name not in ALL:
+            print(f"unknown config {name!r}; choose from {sorted(ALL)}", file=sys.stderr)
+            sys.exit(2)
+        try:
+            ALL[name]()
+        except Exception as e:  # keep the sweep going; record the failure
+            print(f"{name}  FAILED: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,10 @@ run() {
   echo "=== rc=$? ==="
 }
 
+# -1) driver-style entry() compile check at its bs=8 shape (the whole-layer
+#     kernel is new since the last real-chip driver run)
+run python __graft_entry__.py
+
 # 0) baseline re-measure (stack kernel refactor shares _layer_rows with the
 #    per-layer kernel — confirm no regression vs the 4,237-4,285 band)
 run python bench.py
@@ -35,5 +39,14 @@ run env VIT_TPU_DIM_SEMANTICS=parallel python bench.py
 
 # 4) the 10 tpu-marked kernel tests on the real chip
 run python -m pytest tests/ -m tpu -p no:warnings --tb=short
+
+# 5) perf breadth: the five BASELINE.json parity configs + MAE pretrain step
+run python tools/bench_zoo.py
+
+# 6) flagship batch sweep (is 128 still the sweet spot with the whole-layer
+#    kernel? round-2 flat band 128-512 was measured on the OLD path)
+for bs in 192 256 384; do
+  run env BATCH=$bs python tools/bench_stack_model.py
+done
 
 echo "=== agenda complete ==="
