@@ -43,6 +43,10 @@ run python -m pytest tests/ -m tpu -p no:warnings --tb=short
 # 5) perf breadth: the five BASELINE.json parity configs + MAE pretrain step
 run python tools/bench_zoo.py
 
+# 5b) qk-norm kernel A/B (round 3+: in-kernel RMSNorm vs the old XLA fallback)
+run python tools/bench_qknorm_model.py
+run env VIT_TPU_DISABLE_FUSED=1 python tools/bench_qknorm_model.py
+
 # 6) flagship batch sweep (is 128 still the sweet spot with the whole-layer
 #    kernel? round-2 flat band 128-512 was measured on the OLD path)
 for bs in 192 256 384; do

@@ -75,7 +75,10 @@ def fused_block_eligible(
         and flash is not False  # explicit flash=False opts out of ALL kernels
         and not force_split_qkv
         and pre_norm
-        and not qk_norm
+        # qk-norm runs inside the forward kernel; its backward uses the XLA
+        # composite, which cannot replay in-kernel dropout masks — so the
+        # combination with train-time dropout falls back to the module path
+        and not (qk_norm and dropout > 0.0 and train)
         and not has_rotary
         and not has_mask
         and not has_bias
@@ -158,6 +161,24 @@ class _AttnBlockParams(nn.Module):
             self.dim, self.inner, use_bias=self.out_bias, name="to_out"
         )()
         return ln_s, ln_b, w_qkv, b_qkv, w_out, b_out
+
+
+class _RMSParams(nn.Module):
+    """Parameter container matching ``RMSNorm``'s tree (gamma) — lets the
+    fused-block kernel read qk-norm gammas without running the module, so
+    converted checkpoints load unchanged on either path."""
+
+    heads: int
+    dim: int
+    gamma_init: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "gamma",
+            nn.initializers.constant(self.gamma_init),
+            (self.heads, 1, self.dim),
+        )
 
 
 class _FFBlockParams(nn.Module):
@@ -378,6 +399,16 @@ class Attention(nn.Module):
             cast = lambda w: None if w is None else w.astype(x.dtype)
             if ln_bias is None:
                 ln_bias = jnp.zeros((self.dim,), x.dtype)
+            gamma_q = gamma_k = None
+            scale = self.scale
+            if self.qk_norm:
+                gamma_q = _RMSParams(
+                    h, dh, self.qk_norm_gamma_init, name="q_norm"
+                )()
+                gamma_k = _RMSParams(
+                    h, dh, self.qk_norm_gamma_init, name="k_norm"
+                )()
+                scale = default(scale, 1.0)
             rate = self.dropout if train else 0.0
             seed = None
             if rate > 0.0:
@@ -398,7 +429,9 @@ class Attention(nn.Module):
                 dim_head=dh,
                 b_qkv=cast(b_qkv),
                 b_out=cast(b_out),
-                scale=self.scale,
+                gamma_q=cast(gamma_q),
+                gamma_k=cast(gamma_k),
+                scale=scale,
                 eps=LN_EPS,
                 dropout_rate=rate,
                 dropout_seed=seed,
@@ -582,6 +615,9 @@ class Transformer(nn.Module):
         whole_layer = (
             attn_will_fuse
             and (self.dropout == 0.0 or not train)
+            # qk-norm is supported by the attention-block kernel but not by
+            # the whole-layer/stack kernels — take the two-step path
+            and not self.qk_norm
             and not self.ff_glu
             and self.ff_activation == "gelu"
             and whole_layer_supported(

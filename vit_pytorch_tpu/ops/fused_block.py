@@ -84,7 +84,8 @@ def _softmax_from_dots(dots_f32, scale):
 def _vmem_bytes(
     n: int, dim: int, inner: int, itemsize: int, imgs_per_step: int = 1
 ) -> int:
-    weights = dim * 3 * inner * itemsize + inner * dim * itemsize
+    # (+ 2*inner for optional qk-norm gammas — noise next to the GEMM weights)
+    weights = dim * 3 * inner * itemsize + inner * dim * itemsize + 2 * inner * itemsize
     rows = imgs_per_step * n
     acts = (
         2 * rows * dim * itemsize  # x + out
@@ -253,6 +254,7 @@ def _kernel(
     with_bqkv: bool,
     with_bout: bool,
     with_res: bool,
+    with_qknorm: bool = False,
     imgs_per_step: int = 1,
     dropout_rate: float = 0.0,
 ):
@@ -260,6 +262,13 @@ def _kernel(
         seed_ref, *refs = refs
     else:
         seed_ref = None
+    if with_qknorm:
+        # per-head RMSNorm gammas ride as (1, inner) rows (last inputs,
+        # before the output ref); sliced per head like the qkv columns below
+        *refs, gq_ref, gk_ref, _o = refs
+        refs = (*refs, _o)
+    else:
+        gq_ref = gk_ref = None
     if with_res:
         (x_ref, res_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, lns_ref,
          lnb_ref, o_ref) = refs
@@ -299,6 +308,22 @@ def _kernel(
             q = qkv[rows, h * dim_head : (h + 1) * dim_head]
             k = qkv[rows, inner + h * dim_head : inner + (h + 1) * dim_head]
             v = qkv[rows, 2 * inner + h * dim_head : 2 * inner + (h + 1) * dim_head]
+            if with_qknorm:
+                # per-head RMSNorm with learned gamma × sqrt(dh)
+                # (reference na_vit.py:93-103); f32 statistics like the LN
+                root = float(dim_head) ** 0.5
+                gq = gq_ref[0, h * dim_head : (h + 1) * dim_head]
+                gk = gk_ref[0, h * dim_head : (h + 1) * dim_head]
+                qf = q.astype(jnp.float32)
+                kf = k.astype(jnp.float32)
+                qf = qf * jax.lax.rsqrt(
+                    jnp.sum(qf * qf, axis=-1, keepdims=True) + 1e-12
+                )
+                kf = kf * jax.lax.rsqrt(
+                    jnp.sum(kf * kf, axis=-1, keepdims=True) + 1e-12
+                )
+                q = (qf * (gq.astype(jnp.float32) * root)[None, :]).astype(x.dtype)
+                k = (kf * (gk.astype(jnp.float32) * root)[None, :]).astype(x.dtype)
             p = _softmax_from_dots(
                 jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
@@ -338,10 +363,15 @@ def _kernel(
 
 
 def _xla_reference(
-    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, *, heads, dim_head, scale, eps
+    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+    gamma_q=None, gamma_k=None, *, heads, dim_head, scale, eps
 ):
     """Composite the kernel replaces — used for the backward pass, the
-    non-TPU (interpret-free) path, and kernel equivalence tests."""
+    non-TPU (interpret-free) path, and kernel equivalence tests.
+
+    ``gamma_q``/``gamma_k``: optional (heads, dim_head) per-head RMSNorm
+    gammas (qk-norm, reference na_vit.py:93-103); when given, ``scale``
+    should be 1.0 (the sqrt(dh) factor lives in the norm)."""
     b, n, dim = x.shape
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)
@@ -355,6 +385,18 @@ def _xla_reference(
     q, k, v = jnp.split(qkv, 3, axis=-1)
     rs = lambda t: t.reshape(b, n, heads, dim_head).transpose(0, 2, 1, 3)
     q, k, v = rs(q), rs(k), rs(v)
+    if gamma_q is not None:
+        root = float(dim_head) ** 0.5
+
+        def rms(t, gamma):
+            tf = t.astype(jnp.float32)
+            tf = tf * jax.lax.rsqrt(
+                jnp.sum(tf * tf, axis=-1, keepdims=True) + 1e-12
+            )
+            g = gamma.reshape(1, heads, 1, dim_head).astype(jnp.float32)
+            return (tf * (g * root)).astype(t.dtype)
+
+        q, k = rms(q, gamma_q), rms(k, gamma_k)
     dots = (
         jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
         * scale
@@ -369,13 +411,15 @@ def _xla_reference(
 
 
 def _pallas_forward(
-    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed=None,
+    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+    gamma_q=None, gamma_k=None, seed=None,
     *, heads, dim_head, scale, eps, dropout_rate=0.0, interpret=False
 ):
     b, n, dim = x.shape
     inner = heads * dim_head
     with_bqkv = b_qkv is not None
     with_bout = b_out is not None
+    with_qknorm = gamma_q is not None
     # pallas needs concrete operands; feed zeros where bias is absent (the
     # kernel skips the add so the zeros are never read)
     bqkv_arr = (b_qkv if with_bqkv else jnp.zeros((3 * inner,), x.dtype)).reshape(1, -1)
@@ -407,6 +451,7 @@ def _pallas_forward(
         with_bqkv=with_bqkv,
         with_bout=with_bout,
         with_res=with_res,
+        with_qknorm=with_qknorm,
         imgs_per_step=ips,
         dropout_rate=dropout_rate,
     )
@@ -439,6 +484,12 @@ def _pallas_forward(
         ln_scale.reshape(1, -1),
         ln_bias.reshape(1, -1),
     ]
+    if with_qknorm:
+        in_specs += [
+            pl.BlockSpec((1, inner), lambda i: (0, 0)),
+            pl.BlockSpec((1, inner), lambda i: (0, 0)),
+        ]
+        operands += [gamma_q.reshape(1, inner), gamma_k.reshape(1, inner)]
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
@@ -678,22 +729,25 @@ def _pallas_backward(
     return dx, dW_qkv, db_qkv, dW_out, dgamma[0], dbeta[0], gm
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
-def _fused(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed, heads, dim_head, scale, eps, interpret, dropout_rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16))
+def _fused(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, gamma_q, gamma_k, seed, heads, dim_head, scale, eps, interpret, dropout_rate):
     return _pallas_forward(
-        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed,
+        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+        gamma_q, gamma_k, seed,
         heads=heads, dim_head=dim_head, scale=scale, eps=eps,
         dropout_rate=dropout_rate, interpret=interpret,
     )
 
 
-def _fused_fwd(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed, heads, dim_head, scale, eps, interpret, dropout_rate):
+def _fused_fwd(x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, gamma_q, gamma_k, seed, heads, dim_head, scale, eps, interpret, dropout_rate):
     out = _pallas_forward(
-        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed,
+        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+        gamma_q, gamma_k, seed,
         heads=heads, dim_head=dim_head, scale=scale, eps=eps,
         dropout_rate=dropout_rate, interpret=interpret,
     )
-    return out, (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed)
+    return out, (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+                 gamma_q, gamma_k, seed)
 
 
 def _bwd_fits_vmem(x_shape, heads: int, dim_head: int) -> bool:
@@ -702,18 +756,24 @@ def _bwd_fits_vmem(x_shape, heads: int, dim_head: int) -> bool:
 
 
 def _fused_bwd(heads, dim_head, scale, eps, interpret, dropout_rate, residuals, g):
-    x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed = residuals
+    (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+     gamma_q, gamma_k, seed) = residuals
     seed_ct = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
 
-    if dropout_rate == 0.0 and not _bwd_fits_vmem(x.shape, heads, dim_head):
-        # the Pallas backward's working set (~2x the forward's) would not
-        # fit VMEM at this shape — differentiate the XLA composite instead.
-        # Still recompute-from-x (only x was saved), so memory behavior
-        # matches; just slower than the in-VMEM kernel.  (With dropout the
-        # composite cannot replay the in-kernel PRNG masks; eligibility
-        # gates dropout>0 on fused_dropout_supported, so this path is
-        # rate-0 only.)
-        all_args = (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias)
+    if gamma_q is not None or (
+        dropout_rate == 0.0 and not _bwd_fits_vmem(x.shape, heads, dim_head)
+    ):
+        # Differentiate the XLA composite instead of running the Pallas
+        # backward: (a) qk-norm lives only in the forward kernel (the
+        # in-VMEM backward doesn't recompute the RMSNorms); (b) the Pallas
+        # backward's working set (~2x the forward's) would not fit VMEM at
+        # this shape.  Still recompute-from-x (only x was saved), so memory
+        # behavior matches; just slower than the in-VMEM kernel.  (With
+        # dropout the composite cannot replay the in-kernel PRNG masks;
+        # eligibility gates dropout>0 on fused_dropout_supported and
+        # excludes qk-norm+train-dropout, so this path is rate-0 only.)
+        all_args = (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale,
+                    ln_bias, gamma_q, gamma_k)
         present = [a is not None for a in all_args]
         live = [a for a in all_args if a is not None]
 
@@ -760,6 +820,8 @@ def _fused_bwd(heads, dim_head, scale, eps, interpret, dropout_rate, residuals, 
         db_out,
         dgamma.astype(ln_scale.dtype),
         dbeta.astype(ln_bias.dtype),
+        None,  # gamma_q — this branch only runs when qk-norm is absent
+        None,  # gamma_k
         seed_ct,
     )
 
@@ -1726,6 +1788,8 @@ def fused_attention_block(
     dim_head: int,
     b_qkv=None,
     b_out=None,
+    gamma_q=None,
+    gamma_k=None,
     scale: Optional[float] = None,
     eps: float = 1e-5,
     dropout_rate: float = 0.0,
@@ -1734,6 +1798,12 @@ def fused_attention_block(
     interpret: bool = False,
 ):
     """residual + OutProj(Attention(LN(x) @ Wqkv)) as one kernel.
+
+    ``gamma_q``/``gamma_k``: optional per-head qk-RMSNorm gammas, any shape
+    reshapeable to (heads, dim_head) — e.g. the module's (heads, 1, dim_head)
+    params (reference na_vit.py:93-103).  With qk-norm the default ``scale``
+    is 1.0 (the sqrt(dh) factor lives inside the norm) and the backward
+    differentiates the XLA composite (recompute-from-x, same memory).
 
     ``use_pallas=None`` auto-selects: Pallas on TPU when supported, XLA
     composite otherwise (CPU tests, unsupported shapes/dtypes).
@@ -1747,8 +1817,19 @@ def fused_attention_block(
     by ``dropout_seed`` so the Pallas backward regenerates identical masks
     (SURVEY §7.1a "dropout via threaded RNG").
     """
+    if (gamma_q is None) != (gamma_k is None):
+        raise ValueError("gamma_q and gamma_k must be given together")
+    if gamma_q is not None:
+        gamma_q = gamma_q.reshape(heads, dim_head)
+        gamma_k = gamma_k.reshape(heads, dim_head)
+        if dropout_rate > 0.0:
+            raise ValueError(
+                "qk-norm + kernel-tier dropout is unsupported (the qk-norm "
+                "backward uses the XLA composite, which cannot replay the "
+                "in-kernel PRNG masks) — eligibility should exclude it"
+            )
     if scale is None:
-        scale = dim_head**-0.5
+        scale = 1.0 if gamma_q is not None else dim_head**-0.5
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")
     if use_pallas is None:
@@ -1766,6 +1847,7 @@ def fused_attention_block(
             )
         return _xla_reference(
             x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+            gamma_q, gamma_k,
             heads=heads, dim_head=dim_head, scale=float(scale), eps=eps,
         )
     if dropout_rate > 0.0:
@@ -1790,6 +1872,7 @@ def fused_attention_block(
         else jnp.zeros((1, 1), jnp.int32)
     )
     return _fused(
-        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias, seed,
+        x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale, ln_bias,
+        gamma_q, gamma_k, seed,
         heads, dim_head, float(scale), eps, interpret, float(dropout_rate),
     )
