@@ -67,6 +67,53 @@ def test_recorder():
     assert v2 is v
 
 
+def test_recorder_ordering_nonstandard_names():
+    """Depth ordering must come from the explicit per-layer sow index, not
+    from module-name parsing: a transformer whose attention modules are
+    named adversarially (alphabetical order inverts depth order) still
+    returns depth-ordered maps (VERDICT r3 #9 / recorder.py:58 contract)."""
+    import flax.linen as fnn
+    from vit_pytorch_tpu.nn.blocks import Attention
+    from vit_pytorch_tpu.wrappers.recorder import Recorder
+
+    class TwoLayer(fnn.Module):
+        names: tuple
+        indexed: bool = True
+
+        @fnn.compact
+        def __call__(self, x, *, train: bool = False):
+            for i, nm in enumerate(self.names):
+                a = Attention(dim=16, heads=2, dim_head=8,
+                              sow_index=i if self.indexed else None, name=nm)
+                x = a(x, train=train) + x
+            return x
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 16)), jnp.float32)
+    # depth order zeta→alpha: alphabetical sort would swap them
+    adv = TwoLayer(names=("zeta", "alpha"))
+    params = adv.init(jax.random.PRNGKey(0), x)
+    _, attns_adv = Recorder(adv)(params, x)
+
+    # same weights under well-ordered names = ground-truth depth order
+    ordered = TwoLayer(names=("layers_0_attn", "layers_1_attn"))
+    rename = {"zeta": "layers_0_attn", "alpha": "layers_1_attn"}
+    params_ord = {"params": {rename[k]: v for k, v in params["params"].items()}}
+    _, attns_ord = Recorder(ordered)(params_ord, x)
+
+    np.testing.assert_allclose(
+        np.asarray(attns_adv), np.asarray(attns_ord), atol=1e-6
+    )
+
+    # without the explicit index the adversarial names DO come back swapped —
+    # the regression this guards against
+    adv_noidx = TwoLayer(names=("zeta", "alpha"), indexed=False)
+    _, attns_noidx = Recorder(adv_noidx)(params, x)
+    assert not np.allclose(np.asarray(attns_noidx), np.asarray(attns_ord))
+    np.testing.assert_allclose(
+        np.asarray(attns_noidx[:, ::-1]), np.asarray(attns_ord), atol=1e-6
+    )
+
+
 def test_extractor():
     from vit_pytorch_tpu.wrappers.extractor import Extractor
 

@@ -27,8 +27,9 @@ class ViT(nn.Module):
     pool: str = "cls"
     channels: int = 3
 
-    @nn.compact
-    def __call__(self, img, *, train: bool = False):
+    def embed(self, img):
+        """Patchify + embed + cls + pos emb (efficient.py:39-44).  Helper of
+        the compact ``__call__`` so DistillableEfficientViT can reuse it."""
         image_size_h, image_size_w = pair(self.image_size)
         assert image_size_h % self.patch_size == 0 and image_size_w % self.patch_size == 0
         assert self.pool in {"cls", "mean"}
@@ -50,10 +51,15 @@ class ViT(nn.Module):
         )
         cls = jnp.broadcast_to(cls_token, (b, 1, self.dim)).astype(x.dtype)
         x = jnp.concatenate([cls, x], axis=1)
-        x = x + pos[:, : n + 1].astype(x.dtype)
+        return x + pos[:, : n + 1].astype(x.dtype)
 
-        x = self.transformer(x, train=train)
-
+    def head(self, x):
         x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
         x = nn.LayerNorm(epsilon=LN_EPS, name="head_norm")(x)
         return nn.Dense(self.num_classes, name="mlp_head")(x)
+
+    @nn.compact
+    def __call__(self, img, *, train: bool = False):
+        x = self.embed(img)
+        x = self.transformer(x, train=train)
+        return self.head(x)

@@ -38,8 +38,14 @@ class T2TViT(nn.Module):
     transformer: Optional[nn.Module] = None
     t2t_layers: Tuple[Tuple[int, int], ...] = ((7, 4), (3, 2), (3, 2))
 
-    @nn.compact
-    def __call__(self, img, *, train: bool = False):
+    def embed(self, img, *, train: bool = False, dropout: bool = True):
+        """T2T stem + projection + cls + pos emb (t2t.py:35-63).
+
+        ``dropout=False`` skips the trailing emb dropout — DistillableT2TViT
+        appends its distill token first (reference distill.py:33-34,79-82
+        runs the dropout AFTER the concat).  Helper of the compact
+        ``__call__`` so the distillable subclass can reuse it; param names
+        are explicit, the tree is identical either way."""
         assert self.pool in {"cls", "mean"}
 
         layer_dim = self.channels
@@ -88,21 +94,31 @@ class T2TViT(nn.Module):
         cls = jnp.broadcast_to(cls_token, (b, 1, self.dim)).astype(x.dtype)
         x = jnp.concatenate([cls, x], axis=1)
         x = x + pos[:, : n + 1].astype(x.dtype)
-        x = nn.Dropout(self.emb_dropout, deterministic=not train)(x)
+        if not dropout:
+            return x
+        return nn.Dropout(self.emb_dropout, deterministic=not train)(x)
 
+    def trunk(self, x, *, train: bool = False):
+        """The main transformer (external module or built-in, t2t.py:57)."""
         if self.transformer is not None:
-            x = self.transformer(x, train=train)
-        else:
-            assert all(v is not None for v in (self.depth, self.heads, self.mlp_dim))
-            x = Transformer(
-                dim=self.dim,
-                depth=self.depth,
-                heads=self.heads,
-                dim_head=self.dim_head,
-                mlp_dim=self.mlp_dim,
-                dropout=self.dropout,
-                name="transformer",
-            )(x, train=train)
+            return self.transformer(x, train=train)
+        assert all(v is not None for v in (self.depth, self.heads, self.mlp_dim))
+        return Transformer(
+            dim=self.dim,
+            depth=self.depth,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            name="transformer",
+        )(x, train=train)
 
+    def head(self, x):
         x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
         return nn.Dense(self.num_classes, name="mlp_head")(x)
+
+    @nn.compact
+    def __call__(self, img, *, train: bool = False):
+        x = self.embed(img, train=train)
+        x = self.trunk(x, train=train)
+        return self.head(x)

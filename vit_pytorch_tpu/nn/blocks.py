@@ -338,6 +338,10 @@ class Attention(nn.Module):
     kv_include_self: bool = False  # kv over [x ∥ context] (cait.py:87, cross_vit.py:58)
     force_split_qkv: bool = False  # split to_q/to_kv even for self-attention
     flash: Optional[bool] = None
+    # depth position for Recorder ordering: when set, the attention map is
+    # sown as 'attn_{index:04d}' so the Recorder stacks layers by explicit
+    # index instead of parsing module names (recorder.py shape contract)
+    sow_index: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -491,7 +495,12 @@ class Attention(nn.Module):
                 return_attn=True,
                 use_flash=False,
             )
-            self.sow("attn_maps", "attn", attn)
+            leaf = (
+                "attn"
+                if self.sow_index is None
+                else f"attn_{self.sow_index:04d}"
+            )
+            self.sow("attn_maps", leaf, attn)
         else:
             out = dot_product_attention(
                 q,
@@ -727,6 +736,7 @@ class Transformer(nn.Module):
                 out_bias=self.attn_out_bias,
                 qkv_bias=self.qkv_bias,
                 flash=self.flash,
+                sow_index=i,
                 name=f"layers_{i}_attn",
             )
             x = attn_call(attn, x)

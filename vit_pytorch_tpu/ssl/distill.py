@@ -16,7 +16,19 @@ import optax
 
 from ..nn.blocks import LN_EPS
 from ..models.vit import ViT
+from ..models.t2t import T2TViT
+from ..models.efficient import ViT as EfficientViT
 from ..utils.helpers import default, exists
+
+
+def _clone_fields(module, cls):
+    """Fields of ``module`` restricted to ``cls``'s constructor (for
+    parameter-identity ``to_vit`` conversions, reference distill.py:59-62)."""
+    return cls(**{
+        k: getattr(module, k)
+        for k in cls.__dataclass_fields__
+        if k not in ("parent", "name")
+    })
 
 
 class DistillableViT(ViT):
@@ -27,12 +39,7 @@ class DistillableViT(ViT):
     @nn.nowrap
     def to_vit(self) -> ViT:
         """Parameter-compatible plain ViT (distill.py:59-62)."""
-        fields = {
-            k: getattr(self, k)
-            for k in ViT.__dataclass_fields__
-            if k not in ("parent", "name")
-        }
-        return ViT(**fields)
+        return _clone_fields(self, ViT)
 
     def __call__(self, img, distill_token=None, *, train: bool = False):
         distilling = exists(distill_token)
@@ -56,6 +63,68 @@ class DistillableViT(ViT):
         x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
         out = self.mlp_head(x)
 
+        if distilling:
+            return out, distill_out
+        return out
+
+
+class DistillableT2TViT(T2TViT):
+    """reference distill.py:69-85 — T2TViT whose forward takes an optional
+    ``distill_token`` appended after cls+pos emb, excluded from pooling.
+    Parameter tree is identical to T2TViT, so ``to_vit`` is field-copy only
+    (the reference round-trips a state_dict, distill.py:79-82)."""
+
+    @nn.nowrap
+    def to_vit(self) -> T2TViT:
+        return _clone_fields(self, T2TViT)
+
+    @nn.compact
+    def __call__(self, img, distill_token=None, *, train: bool = False):
+        distilling = exists(distill_token)
+        # distill.py:33-34,84-85: emb dropout runs AFTER the token is appended
+        x = self.embed(img, train=train, dropout=False)
+
+        if distilling:
+            b = x.shape[0]
+            tokens = jnp.broadcast_to(distill_token, (b, 1, self.dim)).astype(x.dtype)
+            x = jnp.concatenate([x, tokens], axis=1)
+
+        x = nn.Dropout(self.emb_dropout, deterministic=not train)(x)
+        x = self.trunk(x, train=train)
+
+        if distilling:
+            x, distill_out = x[:, :-1], x[:, -1]
+
+        out = self.head(x)
+        if distilling:
+            return out, distill_out
+        return out
+
+
+class DistillableEfficientViT(EfficientViT):
+    """reference distill.py:87-101 — external-transformer ViT with the
+    distill token; its ``_attend`` has no dropout (distill.py:100-101)."""
+
+    @nn.nowrap
+    def to_vit(self) -> EfficientViT:
+        return _clone_fields(self, EfficientViT)
+
+    @nn.compact
+    def __call__(self, img, distill_token=None, *, train: bool = False):
+        distilling = exists(distill_token)
+        x = self.embed(img)
+
+        if distilling:
+            b = x.shape[0]
+            tokens = jnp.broadcast_to(distill_token, (b, 1, self.dim)).astype(x.dtype)
+            x = jnp.concatenate([x, tokens], axis=1)
+
+        x = self.transformer(x, train=train)
+
+        if distilling:
+            x, distill_out = x[:, :-1], x[:, -1]
+
+        out = self.head(x)
         if distilling:
             return out, distill_out
         return out

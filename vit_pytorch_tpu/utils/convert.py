@@ -333,6 +333,17 @@ def convert_distillable_vit(state_dict) -> dict:
     return convert_vit(state_dict)
 
 
+def convert_distillable_t2t(state_dict) -> dict:
+    """reference distill.py:69-85: DistillableT2TViT shares the T2TViT layout."""
+    return convert_t2t(state_dict)
+
+
+def convert_distillable_efficient_vit(state_dict, transformer_rules_list=()) -> dict:
+    """reference distill.py:87-101: DistillableEfficientViT shares the
+    efficient.py ViT layout (external transformer rules pass through)."""
+    return convert_efficient_vit(state_dict, transformer_rules_list)
+
+
 def convert_vit_with_decorr(state_dict) -> dict:
     """reference vit_with_decorr.py:150-230 → models/vit_with_decorr.py ViT
     (decorrelation modules are parameter-free; FF carries its norm outside
