@@ -46,6 +46,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save a checkpoint per epoch (keep last 3)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in "
+                         "--checkpoint-dir; bit-exact with an uninterrupted "
+                         "run (per-epoch derived RNG)")
     args = ap.parse_args()
 
     from vit_pytorch_tpu import ViT
@@ -96,11 +102,25 @@ def main():
     # trains (utils/data.py)
     from vit_pytorch_tpu.utils.data import minibatches, prefetch_to_device
 
+    mgr = None
+    start_epoch = 0
+    if args.checkpoint_dir:
+        from vit_pytorch_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.checkpoint_dir, max_to_keep=3)
+        if args.resume and mgr.latest_step() is not None:
+            restored = mgr.restore({"params": params, "opt_state": opt_state})
+            params, opt_state = restored["params"], restored["opt_state"]
+            start_epoch = mgr.latest_step()
+            print(f"resumed from epoch {start_epoch}")
+
     bs = args.batch_size
-    key = jax.random.PRNGKey(1)
-    data_rng = np.random.default_rng(1)
     t0 = time.time()
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
+        # per-epoch derived RNG (not carried across epochs) so a resume from
+        # any epoch boundary replays the identical batch order + dropout
+        key = jax.random.fold_in(jax.random.PRNGKey(1), epoch)
+        data_rng = np.random.default_rng((1, epoch))
         losses = []
         batches = prefetch_to_device(
             minibatches({"x": x_train, "y": y_train}, bs, rng=data_rng),
@@ -117,6 +137,11 @@ def main():
             f"epoch {epoch + 1:2d}  loss {np.mean(losses):.4f}  "
             f"test acc {acc * 100:5.1f}%  ({time.time() - t0:.1f}s)"
         )
+        if mgr is not None:
+            mgr.save(epoch + 1, {"params": params, "opt_state": opt_state})
+
+    if mgr is not None:
+        mgr.close()
 
     acc = float(accuracy(params, jnp.asarray(x_test), jnp.asarray(y_test)))
     assert acc > 0.5, "model failed to learn"
