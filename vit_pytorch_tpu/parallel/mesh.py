@@ -45,6 +45,59 @@ def _available_devices(min_count: int = 1, allow_cpu_fallback: bool = False):
     )
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+    **kwargs,
+):
+    """Multi-host entry point (SURVEY §2.5 comms row).
+
+    Wraps ``jax.distributed.initialize``: on TPU pods every argument is
+    auto-detected from the environment (call it with no args, one call per
+    process, before any other JAX API); on CPU/GPU clusters pass
+    ``coordinator_address`` ('host:port' of process 0), ``num_processes``
+    and ``process_id``.  Idempotent — safe to call when the runtime is
+    already initialized.
+
+    After it returns, ``jax.devices()`` is the GLOBAL device set, so
+    ``make_mesh()`` builds a global mesh whose collectives ride ICI within
+    a slice and DCN across slices.  Feed each process its local slice of
+    the batch (``utils.data.process_local_slice`` →
+    ``prefetch_to_device(..., mesh=mesh)``) — the pipeline assembles
+    global arrays via ``jax.make_array_from_process_local_data``.
+
+    Returns ``(process_index, process_count)``.
+    """
+    from jax._src import distributed as _distributed
+
+    if getattr(_distributed.global_state, "client", None) is None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+            **kwargs,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def global_array_from_process_local(local, mesh: Mesh, spec: Optional[P] = None):
+    """Assemble globally-sharded ``jax.Array``s from this process's shard of
+    each leaf (leading axis split over 'data' by default).  Works
+    single-process too (then it is just a sharded device_put)."""
+    if spec is None:
+        spec = P("data")
+    sharding = NamedSharding(mesh, spec)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, np.asarray(a)
+        ),
+        local,
+    )
+
+
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,

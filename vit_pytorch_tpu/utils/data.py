@@ -27,7 +27,32 @@ from typing import Iterable, Iterator
 import jax
 import numpy as np
 
-__all__ = ["minibatches", "prefetch_to_device"]
+__all__ = ["minibatches", "prefetch_to_device", "process_local_slice"]
+
+
+def process_local_slice(data, process_index=None, process_count=None):
+    """This process's contiguous row-slice of a global row-aligned pytree
+    (multi-host data parallelism: each process loads/keeps 1/Nth of every
+    global batch; ``prefetch_to_device(..., mesh=...)`` reassembles the
+    global array via ``jax.make_array_from_process_local_data``).
+
+    Every process must hold the SAME logical global data (or an identically
+    shuffled view — seed per-epoch rngs identically across processes, as
+    ``minibatches`` callers do) so the slices tile the global batch.
+    """
+    idx = jax.process_index() if process_index is None else process_index
+    cnt = jax.process_count() if process_count is None else process_count
+    leaves = jax.tree.leaves(data)
+    if not leaves or cnt == 1:
+        return data
+    n = leaves[0].shape[0]
+    if n % cnt:
+        raise ValueError(
+            f"process_local_slice: leading dim {n} must divide by "
+            f"process_count {cnt}"
+        )
+    per = n // cnt
+    return jax.tree.map(lambda a: a[idx * per : (idx + 1) * per], data)
 
 
 def minibatches(data, batch_size: int, *, rng=None, drop_last: bool = True):
@@ -150,16 +175,22 @@ def prefetch_to_device(
 
         sharding = batch_sharding(mesh)
 
-    if sharding is None:
-        place = lambda batch: jax.tree.map(jax.device_put, batch)
-    elif isinstance(sharding, jax.sharding.Sharding):
-        place = lambda batch: jax.tree.map(
-            lambda a: jax.device_put(a, sharding), batch
-        )
+    # multi-process: each process holds only its local rows, so global
+    # arrays are assembled from per-process shards instead of device_put
+    # (which requires the full global value on every host)
+    multiproc = jax.process_count() > 1
+
+    def _put(a, s):
+        if s is None:
+            return jax.device_put(a)
+        if multiproc and isinstance(s, jax.sharding.NamedSharding):
+            return jax.make_array_from_process_local_data(s, np.asarray(a))
+        return jax.device_put(a, s)
+
+    if sharding is None or isinstance(sharding, jax.sharding.Sharding):
+        place = lambda batch: jax.tree.map(lambda a: _put(a, sharding), batch)
     else:
-        place = lambda batch: jax.tree.map(
-            lambda a, s: jax.device_put(a, s), batch, sharding
-        )
+        place = lambda batch: jax.tree.map(_put, batch, sharding)
 
     it = iter(iterator)
     if host_workers:
