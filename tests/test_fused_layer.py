@@ -2,6 +2,8 @@
 (ops/fused_block.py fused_transformer_layer: attn block + FF in one Pallas
 call) — interpreter mode on CPU, forward AND the decomposed custom_vjp."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -81,6 +83,85 @@ def test_whole_layer_grads_match_composite():
     for name, a, b in zip(names, gk, gr):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3, err_msg=name
+        )
+
+
+def test_ff_pallas_backward_matches_vjp():
+    """The row-tiled Pallas FF backward (opt-in, VIT_TPU_ENABLE_FF_BWD)
+    must agree with autodiff through _ff_reference on every operand —
+    multi-tile shape (M=192 → three 64-row grid steps) so the f32
+    accumulator carry across the sequential grid is exercised."""
+    from vit_pytorch_tpu.ops.fused_block import (
+        _ff_bwd_rows, _ff_pallas_backward, ff_bwd_supported,
+    )
+
+    b, n = 2, 96
+    assert _ff_bwd_rows(b * n) == 64
+    os.environ["VIT_TPU_ENABLE_FF_BWD"] = "1"
+    try:
+        assert ff_bwd_supported((b, n, DIM), jnp.float32, DIM, MLP)
+    finally:
+        os.environ.pop("VIT_TPU_ENABLE_FF_BWD", None)
+    ks = jax.random.split(jax.random.PRNGKey(7), 9)
+    y = jax.random.normal(ks[0], (b, n, DIM), jnp.float32)
+    g = jax.random.normal(ks[1], (b, n, DIM), jnp.float32)
+    ln2s = 1.0 + 0.1 * jax.random.normal(ks[2], (DIM,), jnp.float32)
+    ln2b = 0.1 * jax.random.normal(ks[3], (DIM,), jnp.float32)
+    w1 = jax.random.normal(ks[4], (DIM, MLP), jnp.float32) * 0.05
+    b1 = 0.05 * jax.random.normal(ks[5], (MLP,), jnp.float32)
+    w2 = jax.random.normal(ks[6], (MLP, DIM), jnp.float32) * 0.05
+    b2 = 0.05 * jax.random.normal(ks[7], (DIM,), jnp.float32)
+
+    _, vjp = jax.vjp(
+        lambda y, ln2s, ln2b, w1, b1, w2, b2: _ff_reference(
+            y, ln2s, ln2b, w1, b1, w2, b2, eps=1e-5
+        ),
+        y, ln2s, ln2b, w1, b1, w2, b2,
+    )
+    want = vjp(g)
+    got = _ff_pallas_backward(y, g, ln2s, ln2b, w1, b1, w2, eps=1e-5,
+                              interpret=True)
+    names = ("dy", "dln2s", "dln2b", "dw1", "db1", "dw2", "db2")
+    for name, a, b_ in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=2e-4, err_msg=name
+        )
+
+
+def test_whole_layer_grads_with_ff_kernel(monkeypatch):
+    """Whole-layer decomposed custom_vjp with the (opt-in) Pallas FF
+    backward engaged vs autodiff through the XLA composite."""
+    from vit_pytorch_tpu.ops.fused_block import ff_bwd_supported
+
+    monkeypatch.setenv("VIT_TPU_ENABLE_FF_BWD", "1")
+    global N  # _inputs uses module-level N
+    n_saved = N
+    try:
+        globals()["N"] = 32  # B*N = 64 → _ff_bwd_rows hits, kernel engages
+        args = _inputs(jnp.float32, qkv_bias=True)
+    finally:
+        globals()["N"] = n_saved
+    x = args[0]
+    assert ff_bwd_supported(x.shape, x.dtype, DIM, MLP)
+
+    def loss_kernel(x, w_qkv, b_qkv, w_out, b_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2):
+        out = fused_transformer_layer(
+            x, w_qkv, w_out, ln1s, ln1b, ln2s, ln2b, w1, b1, w2, b2,
+            heads=H, dim_head=D, b_qkv=b_qkv, b_out=b_out, interpret=True,
+        )
+        return jnp.sum(out**2)
+
+    def loss_ref(*a):
+        return jnp.sum(_composite(*a)**2)
+
+    argnums = tuple(range(13))
+    gk = jax.grad(loss_kernel, argnums=argnums)(*args)
+    gr = jax.grad(loss_ref, argnums=argnums)(*args)
+    names = ("x", "w_qkv", "b_qkv", "w_out", "b_out", "ln1s", "ln1b",
+             "ln2s", "ln2b", "w1", "b1", "w2", "b2")
+    for name, a, b_ in zip(names, gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=2e-3, err_msg=name
         )
 
 

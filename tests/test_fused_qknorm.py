@@ -73,9 +73,10 @@ def test_qknorm_differs_from_unnormed():
 
 
 def test_qknorm_grads_match_composite():
-    """The qk-norm backward differentiates the XLA composite — every
-    operand's gradient (incl. both gammas) must match differentiating the
-    reference directly."""
+    """The qk-norm Pallas backward (round 4: in-kernel RMSNorm recompute +
+    f32 dgamma accumulators, interpret mode here) — every operand's
+    gradient (incl. both gammas) must match differentiating the reference
+    directly."""
     x, res, w_qkv, b_qkv, w_out, b_out, lns, lnb, gq, gk = _inputs(jnp.float32)
 
     def loss_fused(ops):
@@ -116,11 +117,11 @@ def test_qknorm_eligibility(monkeypatch):
         x_shape=(8, 197, 768), x_dtype=jnp.bfloat16, heads=12, dim_head=64,
         dim=768, flash=None, project_out=True, qk_norm=True,
     )
-    # inference and dropout-free training fuse; the composite backward
-    # can't replay in-kernel dropout masks, so train+dropout falls back
+    # round 4: the Pallas backward recomputes the RMSNorms and replays the
+    # in-kernel dropout masks, so qk-norm fuses in EVERY train/dropout combo
     assert fused_block_eligible(**common, dropout=0.0, train=True)
     assert fused_block_eligible(**common, dropout=0.1, train=False)
-    assert not fused_block_eligible(**common, dropout=0.1, train=True)
+    assert fused_block_eligible(**common, dropout=0.1, train=True)
 
 
 def test_qknorm_wrapper_guards():
@@ -198,6 +199,82 @@ def _tpu_device():
 
 @pytest.mark.tpu
 @pytest.mark.skipif(_tpu_device() is None, reason="needs a real TPU chip")
+def test_qknorm_dropout_grads_on_tpu():
+    """qk-norm + kernel-tier train dropout (the round-4 unlock): grads from
+    the Pallas backward (which recomputes the RMSNorms AND replays the PRNG
+    masks) vs autodiff of an XLA composite with the same masks injected via
+    dropout_masks."""
+    import vit_pytorch_tpu.ops.fused_block as fb
+
+    b, h, n, d = 4, 4, 197, 64
+    dim = h * d
+    rate, seed = 0.1, 77
+    root = float(d) ** 0.5
+
+    with jax.default_device(_tpu_device()):
+        ks = jax.random.split(jax.random.PRNGKey(5), 5)
+        dt = jnp.bfloat16
+        x = jax.random.normal(ks[0], (b, n, dim), dt)
+        w_qkv = jax.random.normal(ks[1], (dim, 3 * dim), dt) * 0.05
+        w_out = jax.random.normal(ks[2], (dim, dim), dt) * 0.05
+        lns = jnp.ones((dim,), dt)
+        lnb = jnp.zeros((dim,), dt)
+        gq = 1.0 + 0.2 * jax.random.normal(ks[3], (h, 1, d), dt)
+        gk = 1.0 + 0.2 * jax.random.normal(ks[4], (h, 1, d), dt)
+        akeep, okeep = fb.dropout_masks(seed, b, n, dim, h, rate)
+        inv = 1.0 / (1.0 - rate)
+
+        def ref(x, w_qkv, w_out, gq, gk):
+            xf = x.astype(jnp.float32)
+            mu = xf.mean(-1, keepdims=True)
+            var = xf.var(-1, keepdims=True)
+            ln = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+            ln = (ln * lns.astype(jnp.float32) + lnb.astype(jnp.float32)).astype(x.dtype)
+            qkv = jnp.dot(ln, w_qkv, preferred_element_type=jnp.float32).astype(x.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            rs = lambda t: t.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+            q, k, v = rs(q), rs(k), rs(v)
+            nrm = lambda t: t.astype(jnp.float32) * jax.lax.rsqrt(
+                jnp.sum(t.astype(jnp.float32) ** 2, -1, keepdims=True) + 1e-12
+            )
+            q = (nrm(q) * (gq.astype(jnp.float32) * root)[None]).astype(x.dtype)
+            k = (nrm(k) * (gk.astype(jnp.float32) * root)[None]).astype(x.dtype)
+            dots = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32)
+            dots = dots - jnp.max(dots, -1, keepdims=True)
+            p = jnp.exp(dots)
+            p = p / jnp.sum(p, -1, keepdims=True)
+            p = jnp.where(akeep.astype(bool), p, 0.0) * inv
+            o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(x.dtype), v,
+                           preferred_element_type=jnp.float32)
+            o = o.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, n, dim)
+            out = jnp.dot(o, w_out, preferred_element_type=jnp.float32)
+            out = jnp.where(okeep.astype(bool), out, 0.0) * inv
+            return (out + x.astype(jnp.float32)).astype(x.dtype)
+
+        def loss_k(x, w_qkv, w_out, gq, gk):
+            out = fb.fused_attention_block(
+                x, x, w_qkv, w_out, lns, lnb, gamma_q=gq, gamma_k=gk,
+                heads=h, dim_head=d, dropout_rate=rate, dropout_seed=seed,
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_r(x, w_qkv, w_out, gq, gk):
+            return jnp.sum(ref(x, w_qkv, w_out, gq, gk).astype(jnp.float32) ** 2)
+
+        argnums = (0, 1, 2, 3, 4)
+        g_k = jax.grad(loss_k, argnums)(x, w_qkv, w_out, gq, gk)
+        g_r = jax.grad(loss_r, argnums)(x, w_qkv, w_out, gq, gk)
+        for name, a, bb in zip(("x", "w_qkv", "w_out", "gq", "gk"), g_k, g_r):
+            a = np.asarray(a, np.float32)
+            bb = np.asarray(bb, np.float32)
+            denom = max(float(np.max(np.abs(bb))), 1e-3)
+            rel = float(np.max(np.abs(a - bb))) / denom
+            assert rel < 0.06, (name, rel)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(_tpu_device() is None, reason="needs a real TPU chip")
 def test_qknorm_kernel_on_tpu():
     """Compiled (Mosaic) qk-norm kernel vs the XLA composite on the chip,
     bf16 at a simple_vit_with_qk_norm-shaped config — exercises the 64-lane
@@ -206,23 +283,26 @@ def test_qknorm_kernel_on_tpu():
     dim = h * d
     ks = jax.random.split(jax.random.PRNGKey(3), 6)
     dt = jnp.bfloat16
-    x = jax.random.normal(ks[0], (8, 197, dim), dt)
-    res = jax.random.normal(ks[1], (8, 197, dim), dt)
-    w_qkv = jax.random.normal(ks[2], (dim, 3 * dim), dt) * 0.05
-    w_out = jax.random.normal(ks[3], (dim, dim), dt) * 0.05
-    lns = jnp.ones((dim,), dt)
-    lnb = jnp.zeros((dim,), dt)
-    gq = 1.0 + 0.2 * jax.random.normal(ks[4], (h, 1, d), dt)
-    gk = 1.0 + 0.2 * jax.random.normal(ks[5], (h, 1, d), dt)
-    want = _xla_reference(
-        x, res, w_qkv, None, w_out, None, lns, lnb,
-        gq.reshape(h, d), gk.reshape(h, d),
-        heads=h, dim_head=d, scale=1.0, eps=1e-5,
-    )
-    got = fused_attention_block(
-        x, res, w_qkv, w_out, lns, lnb, gamma_q=gq, gamma_k=gk,
-        heads=h, dim_head=d, use_pallas=True,
-    )
+    # conftest pins the default device to host CPU — place this test's work
+    # on the chip explicitly (same pattern as test_fused_dropout)
+    with jax.default_device(_tpu_device()):
+        x = jax.random.normal(ks[0], (8, 197, dim), dt)
+        res = jax.random.normal(ks[1], (8, 197, dim), dt)
+        w_qkv = jax.random.normal(ks[2], (dim, 3 * dim), dt) * 0.05
+        w_out = jax.random.normal(ks[3], (dim, dim), dt) * 0.05
+        lns = jnp.ones((dim,), dt)
+        lnb = jnp.zeros((dim,), dt)
+        gq = 1.0 + 0.2 * jax.random.normal(ks[4], (h, 1, d), dt)
+        gk = 1.0 + 0.2 * jax.random.normal(ks[5], (h, 1, d), dt)
+        want = _xla_reference(
+            x, res, w_qkv, None, w_out, None, lns, lnb,
+            gq.reshape(h, d), gk.reshape(h, d),
+            heads=h, dim_head=d, scale=1.0, eps=1e-5,
+        )
+        got = fused_attention_block(
+            x, res, w_qkv, w_out, lns, lnb, gamma_q=gq, gamma_k=gk,
+            heads=h, dim_head=d, use_pallas=True,
+        )
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=0.08, rtol=0.05,

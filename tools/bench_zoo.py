@@ -219,6 +219,24 @@ def main():
         if name not in ALL:
             print(f"unknown config {name!r}; choose from {sorted(ALL)}", file=sys.stderr)
             sys.exit(2)
+
+    # each config runs in its own subprocess: one process accumulating every
+    # config's params/jit executables exhausts the 16 GB chip (measured —
+    # navit/max_vit/vivit/mae all RESOURCE_EXHAUSTED after the first two)
+    if len(names) > 1 and not os.environ.get("VIT_TPU_ZOO_CHILD"):
+        import subprocess
+
+        env = dict(os.environ, VIT_TPU_ZOO_CHILD="1")
+        for name in names:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                env=env, timeout=1800,
+            )
+            if r.returncode != 0:
+                print(f"{name}  FAILED: subprocess rc={r.returncode}")
+        return
+
+    for name in names:
         try:
             ALL[name]()
         except Exception as e:  # keep the sweep going; record the failure

@@ -75,10 +75,9 @@ def fused_block_eligible(
         and flash is not False  # explicit flash=False opts out of ALL kernels
         and not force_split_qkv
         and pre_norm
-        # qk-norm runs inside the forward kernel; its backward uses the XLA
-        # composite, which cannot replay in-kernel dropout masks — so the
-        # combination with train-time dropout falls back to the module path
-        and not (qk_norm and dropout > 0.0 and train)
+        # qk-norm runs inside BOTH kernels since round 4 (forward RMSNorm +
+        # backward recompute with in-VMEM dgamma accumulators), so it
+        # composes with in-kernel train-time dropout — no fallback
         and not has_rotary
         and not has_mask
         and not has_bias

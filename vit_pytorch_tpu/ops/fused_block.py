@@ -509,6 +509,7 @@ def _bwd_kernel(
     eps: float,
     with_bqkv: bool,
     dropout_rate: float = 0.0,
+    with_qknorm: bool = False,
 ):
     """Backward of the fused block, per batch element.
 
@@ -522,15 +523,30 @@ def _bwd_kernel(
     With dropout, the identical masks are regenerated from (seed, img, head)
     seeding — one image per grid step, so img == program_id(0) — and an
     extra output ``gm`` (the out-projection gradient AFTER the output
-    dropout mask) is emitted for the dW_out/db_out contractions."""
+    dropout mask) is emitted for the dW_out/db_out contractions.
+
+    With qk-norm, the per-head RMSNorms are recomputed exactly like the
+    forward kernel's (l2-normalize + gamma·sqrt(dh)) and dgamma_q/dgamma_k
+    accumulate in f32 VMEM like the LN grads — so qk-norm composes with
+    in-kernel dropout (the masks replay regardless), closing the
+    qk_norm+dropout+train fallback (VERDICT r3 #5)."""
     if dropout_rate > 0.0:
-        (seed_ref, x_ref, g_ref, wqkv_ref, bqkv_ref, wout_ref, lns_ref,
-         lnb_ref, dx_ref, h_ref, dqkv_ref, m_ref, dgamma_ref, dbeta_ref,
-         gm_ref) = refs
+        seed_ref, *refs = refs
+    else:
+        seed_ref = None
+    if with_qknorm:
+        (x_ref, g_ref, wqkv_ref, bqkv_ref, wout_ref, lns_ref, lnb_ref,
+         gq_ref, gk_ref, *refs) = refs
     else:
         (x_ref, g_ref, wqkv_ref, bqkv_ref, wout_ref, lns_ref, lnb_ref,
-         dx_ref, h_ref, dqkv_ref, m_ref, dgamma_ref, dbeta_ref) = refs
-        seed_ref = gm_ref = None
+         *refs) = refs
+        gq_ref = gk_ref = None
+    (dx_ref, h_ref, dqkv_ref, m_ref, dgamma_ref, dbeta_ref, *refs) = refs
+    if with_qknorm:
+        dgq_ref, dgk_ref, *refs = refs
+    else:
+        dgq_ref = dgk_ref = None
+    gm_ref = refs[0] if dropout_rate > 0.0 else None
     i = pl.program_id(0)
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
     x = x_ref[0]
@@ -570,10 +586,25 @@ def _bwd_kernel(
     )
 
     dqs, dks, dvs, outs = [], [], [], []
+    dgqs, dgks = [], []
     for hh in range(heads):
         q = qkv[:, hh * dim_head : (hh + 1) * dim_head]
         k = qkv[:, inner + hh * dim_head : inner + (hh + 1) * dim_head]
         v = qkv[:, 2 * inner + hh * dim_head : 2 * inner + (hh + 1) * dim_head]
+        if with_qknorm:
+            # recompute the forward kernel's per-head RMSNorm exactly
+            # (_kernel with_qknorm branch): l2-normalize, gamma·sqrt(dh)
+            root = float(dim_head) ** 0.5
+            gq = gq_ref[0, hh * dim_head : (hh + 1) * dim_head].astype(jnp.float32) * root
+            gk = gk_ref[0, hh * dim_head : (hh + 1) * dim_head].astype(jnp.float32) * root
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            rq = jax.lax.rsqrt(jnp.sum(qf * qf, axis=-1, keepdims=True) + 1e-12)
+            rk = jax.lax.rsqrt(jnp.sum(kf * kf, axis=-1, keepdims=True) + 1e-12)
+            qhat = qf * rq
+            khat = kf * rk
+            q = (qhat * gq[None, :]).astype(x.dtype)
+            k = (khat * gk[None, :]).astype(x.dtype)
         p = _softmax_from_dots(
             jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_kernel_dot_precision(x.dtype)
@@ -611,9 +642,30 @@ def _bwd_kernel(
             )
             * scale
         )
+        if with_qknorm:
+            # dq/dk above are cotangents of the NORMED q/k; backprop the
+            # gamma scale and the l2-normalize (d[v/|v|] = r·(dv̂ − v̂⟨dv̂,v̂⟩))
+            dgqs.append(jnp.sum(dq * qhat, axis=0, keepdims=True))
+            dgks.append(jnp.sum(dk * khat, axis=0, keepdims=True))
+            dqh = dq * gq[None, :]
+            dkh = dk * gk[None, :]
+            dq = rq * (dqh - qhat * jnp.sum(dqh * qhat, axis=-1, keepdims=True))
+            dk = rk * (dkh - khat * jnp.sum(dkh * khat, axis=-1, keepdims=True))
         dqs.append(dq)
         dks.append(dk)
         dvs.append(dv)
+
+    if with_qknorm:
+        root = float(dim_head) ** 0.5
+
+        @pl.when(i == 0)
+        def _init_qk():
+            dgq_ref[...] = jnp.zeros_like(dgq_ref)
+            dgk_ref[...] = jnp.zeros_like(dgk_ref)
+
+        # dgamma includes the sqrt(dh) factor (gamma entered as gamma·root)
+        dgq_ref[...] += jnp.concatenate(dgqs, axis=-1) * root
+        dgk_ref[...] += jnp.concatenate(dgks, axis=-1) * root
 
     m_ref[0] = jnp.concatenate(outs, axis=-1)
     dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (n, 3*inner) f32
@@ -647,12 +699,14 @@ def _bwd_kernel(
 
 def _pallas_backward(
     x, g, w_qkv, b_qkv, w_out, ln_scale, ln_bias, seed=None,
+    gamma_q=None, gamma_k=None,
     *, heads, dim_head, scale, eps, dropout_rate=0.0, interpret=False
 ):
     b, n, dim = x.shape
     inner = heads * dim_head
     with_bqkv = b_qkv is not None
     with_dropout = dropout_rate > 0.0
+    with_qknorm = gamma_q is not None
     bqkv_arr = (b_qkv if with_bqkv else jnp.zeros((3 * inner,), x.dtype)).reshape(1, -1)
 
     kern = functools.partial(
@@ -663,6 +717,7 @@ def _pallas_backward(
         eps=eps,
         with_bqkv=with_bqkv,
         dropout_rate=dropout_rate,
+        with_qknorm=with_qknorm,
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, n, dim), x.dtype),       # dx (LN path)
@@ -690,6 +745,17 @@ def _pallas_backward(
         pl.BlockSpec((1, dim), lambda i: (0, 0)),
     ]
     operands = [x, g, w_qkv, bqkv_arr, w_out, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1)]
+    if with_qknorm:
+        # gammas ride as (1, inner) rows (same layout as the forward kernel)
+        in_specs.append(pl.BlockSpec((1, inner), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, inner), lambda i: (0, 0)))
+        operands.append(gamma_q.reshape(1, inner))
+        operands.append(gamma_k.reshape(1, inner))
+        # dgamma_q / dgamma_k accumulators
+        out_shape.append(jax.ShapeDtypeStruct((1, inner), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((1, inner), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, inner), lambda i: (0, 0)))
+        out_specs.append(pl.BlockSpec((1, inner), lambda i: (0, 0)))
     if with_dropout:
         in_specs.insert(0, pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
         operands.insert(0, jnp.asarray(seed, jnp.int32).reshape(1, 1))
@@ -697,19 +763,21 @@ def _pallas_backward(
         out_shape.append(jax.ShapeDtypeStruct((b, n, dim), x.dtype))
         out_specs.append(pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)))
 
-    results = pl.pallas_call(
+    results = list(pl.pallas_call(
         kern,
         out_shape=tuple(out_shape),
         grid=(b,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(*operands)
-    if with_dropout:
-        dx, h, dqkv, m, dgamma, dbeta, gm = results
+    )(*operands))
+    gm = results.pop() if with_dropout else None
+    if with_qknorm:
+        dgk = results.pop()
+        dgq = results.pop()
     else:
-        dx, h, dqkv, m, dgamma, dbeta = results
-        gm = None
+        dgq = dgk = None
+    dx, h, dqkv, m, dgamma, dbeta = results
 
     # weight grads as two large XLA GEMMs over the flattened batch
     hf = h.reshape(b * n, dim)
@@ -726,7 +794,7 @@ def _pallas_backward(
         mf, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     db_qkv = jnp.sum(dqkvf.astype(jnp.float32), axis=0) if with_bqkv else None
-    return dx, dW_qkv, db_qkv, dW_out, dgamma[0], dbeta[0], gm
+    return dx, dW_qkv, db_qkv, dW_out, dgamma[0], dbeta[0], gm, dgq, dgk
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16))
@@ -760,18 +828,15 @@ def _fused_bwd(heads, dim_head, scale, eps, interpret, dropout_rate, residuals, 
      gamma_q, gamma_k, seed) = residuals
     seed_ct = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
 
-    if gamma_q is not None or (
-        dropout_rate == 0.0 and not _bwd_fits_vmem(x.shape, heads, dim_head)
-    ):
+    if dropout_rate == 0.0 and not _bwd_fits_vmem(x.shape, heads, dim_head):
         # Differentiate the XLA composite instead of running the Pallas
-        # backward: (a) qk-norm lives only in the forward kernel (the
-        # in-VMEM backward doesn't recompute the RMSNorms); (b) the Pallas
-        # backward's working set (~2x the forward's) would not fit VMEM at
-        # this shape.  Still recompute-from-x (only x was saved), so memory
-        # behavior matches; just slower than the in-VMEM kernel.  (With
-        # dropout the composite cannot replay the in-kernel PRNG masks;
-        # eligibility gates dropout>0 on fused_dropout_supported and
-        # excludes qk-norm+train-dropout, so this path is rate-0 only.)
+        # backward: its working set (~2x the forward's) would not fit VMEM
+        # at this shape.  Still recompute-from-x (only x was saved), so
+        # memory behavior matches; just slower than the in-VMEM kernel.
+        # (With dropout the composite cannot replay the in-kernel PRNG
+        # masks; eligibility gates dropout>0 on fused_dropout_supported,
+        # so this path is rate-0 only.  qk-norm runs in the Pallas backward
+        # since round 4 — RMSNorm recompute + in-VMEM dgamma accumulators.)
         all_args = (x, residual, w_qkv, b_qkv, w_out, b_out, ln_scale,
                     ln_bias, gamma_q, gamma_k)
         present = [a is not None for a in all_args]
@@ -788,7 +853,7 @@ def _fused_bwd(heads, dim_head, scale, eps, interpret, dropout_rate, residuals, 
         grads = iter(vjp(g))
         return tuple(next(grads) if p else None for p in present) + (seed_ct,)
 
-    dx, dW_qkv, db_qkv, dW_out, dgamma, dbeta, gm = _pallas_backward(
+    dx, dW_qkv, db_qkv, dW_out, dgamma, dbeta, gm, dgq, dgk = _pallas_backward(
         x,
         g,
         w_qkv,
@@ -797,6 +862,8 @@ def _fused_bwd(heads, dim_head, scale, eps, interpret, dropout_rate, residuals, 
         ln_scale,
         ln_bias,
         seed,
+        gamma_q,
+        gamma_k,
         heads=heads,
         dim_head=dim_head,
         scale=scale,
@@ -820,8 +887,8 @@ def _fused_bwd(heads, dim_head, scale, eps, interpret, dropout_rate, residuals, 
         db_out,
         dgamma.astype(ln_scale.dtype),
         dbeta.astype(ln_bias.dtype),
-        None,  # gamma_q — this branch only runs when qk-norm is absent
-        None,  # gamma_k
+        dgq.reshape(gamma_q.shape).astype(gamma_q.dtype) if gamma_q is not None else None,
+        dgk.reshape(gamma_k.shape).astype(gamma_k.dtype) if gamma_k is not None else None,
         seed_ct,
     )
 
@@ -1403,6 +1470,203 @@ def _layer_pallas_backward(
     )
 
 
+def _ff_bwd_kernel(*refs, eps: float):
+    """FF-block backward over a ROW TILE of the flattened (b·n, dim) batch:
+    recompute LN2→fc1→GELU in VMEM, accumulate dW1/dW2/db/dLN in f32 VMEM
+    across the sequential row grid, write the dy tile.
+
+    This is the FF half of ``_layer_bwd_kernel`` with one structural change
+    that flips its measured outcome: the FF is row-independent, so the tile
+    is 512-1024 rows instead of one image's n=197 — each dW update is a
+    rank-512+ GEMM at full MXU depth rather than the rank-197 K-split that
+    made the whole-layer variant lose.  Eliminates XLA's FF-vjp HBM streams
+    (write+2×read of the (b·n, mlp) GELU hidden and of dh ≈ 5 GB/layer at
+    ViT-B bs=1024); the attention half keeps its measured-winner path.
+
+    NOTE dy here is the cotangent of the FULL layer output z = y + FF(y)
+    routed to y, i.e. it INCLUDES the residual-path g (matches what
+    jax.vjp(_ff_reference) returned in the decomposed backward).
+    """
+    (y_ref, g_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+     dy_ref, dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref) = refs
+    i = pl.program_id(0)
+    prec = _kernel_dot_precision(y_ref.dtype)
+    io_dtype = y_ref.dtype
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    y = y_ref[...]
+    g = g_ref[...].astype(jnp.float32)
+
+    # LN2 forward (recompute)
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    yc = yf - mu
+    var = jnp.mean(jnp.square(yc), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    xhat = yc * r
+    y2 = (
+        xhat * ln2s_ref[0].astype(jnp.float32) + ln2b_ref[0].astype(jnp.float32)
+    ).astype(io_dtype)
+
+    h1_f32 = jnp.dot(y2, w1_ref[...], preferred_element_type=jnp.float32,
+                     precision=prec)
+    # primal adds the bias AFTER the bf16 cast (matches _layer_kernel)
+    h1 = (h1_f32.astype(io_dtype) + b1_ref[0]).astype(jnp.float32)
+    act = jax.nn.gelu(h1, approximate=True).astype(io_dtype)
+
+    db2_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    gb = g.astype(io_dtype)
+    dact = jax.lax.dot_general(
+        gb, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dh1 = dact * _gelu_tanh_grad(h1)
+    db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+    dh1b = dh1.astype(io_dtype)
+    dw2_ref[...] += jax.lax.dot_general(
+        act, gb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dw1_ref[...] += jax.lax.dot_general(
+        y2, dh1b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dyln = jax.lax.dot_general(
+        dh1b, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dln2s_ref[...] += jnp.sum(dyln * xhat, axis=0, keepdims=True)
+    dln2b_ref[...] += jnp.sum(dyln, axis=0, keepdims=True)
+
+    gamma = ln2s_ref[0].astype(jnp.float32)
+    dxhat = dyln * gamma
+    dy_ln = r * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    # z = y + FF(LN2(y)) + b2: residual path adds g
+    dy_ref[...] = (dy_ln + g).astype(io_dtype)
+
+
+def _ff_bwd_rows(m: int) -> int:
+    """Largest row tile in {1024, 512, 256, 128, 64} dividing the flattened
+    batch (0 when none does — caller falls back to the XLA vjp)."""
+    for rows in (1024, 512, 256, 128, 64):
+        if m % rows == 0:
+            return rows
+    return 0
+
+
+def _vmem_bytes_ff_bwd(rows: int, dim: int, mlp: int, itemsize: int) -> int:
+    weights = (2 * dim * mlp + 2 * dim + mlp) * itemsize
+    accums = (2 * dim * mlp + 3 * dim + mlp) * 4
+    f32_tmps = rows * mlp * 4 * 3 + rows * dim * 4 * 4  # h1/dact/dh1 + LN/dy
+    io_dbuf = 2 * 3 * rows * dim * itemsize  # y, g in + dy out, double-buffered
+    return weights + accums + f32_tmps + io_dbuf
+
+
+_FF_BWD_EST_LIMIT = int(100 * 1024 * 1024)
+
+
+def ff_bwd_supported(x_shape, dtype, dim: int, mlp_dim: int) -> bool:
+    """Gate for the row-tiled Pallas FF backward.
+
+    OPT-IN (``VIT_TPU_ENABLE_FF_BWD=1``), not default: measured on v5e
+    (ViT-B bs=1024, tools/bench_train_decomp.py, same-session A/B) the
+    kernel is ~15 ms/step SLOWER than XLA's FF vjp — fwd+bwd 975.6 vs
+    960.4 ms.  The hypothesis was that the vjp's GELU-hidden and dh HBM
+    round-trips (~5 GB/layer) were unfused; in practice XLA's backward
+    already runs within noise of its memory envelope, and the kernel's
+    5-GEMM serial chain per row tile pays back whatever the eliminated
+    streams saved.  Kept as a measured variant (same status as the
+    whole-layer backward): the balance may flip at larger mlp ratios or
+    on hardware with slower HBM."""
+    import os
+
+    if not os.environ.get("VIT_TPU_ENABLE_FF_BWD"):
+        return False
+    b, n, d = x_shape
+    rows = _ff_bwd_rows(b * n)
+    if rows == 0:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    return _vmem_bytes_ff_bwd(rows, dim, mlp_dim, itemsize) <= _FF_BWD_EST_LIMIT
+
+
+def _ff_pallas_backward(y, g, ln2s, ln2b, w1, b1, w2, *, eps, interpret=False):
+    """dy, dln2s, dln2b, dW1, db1, dW2, db2 for z = y + FF(LN2(y)) + b2.
+
+    Row-tiled Pallas kernel; see ``_ff_bwd_kernel``.  ``db2`` is returned
+    even though b2's value is never read (db2 = Σg)."""
+    b, n, dim = y.shape
+    mlp = w1.shape[1]
+    m = b * n
+    rows = _ff_bwd_rows(m)
+    assert rows > 0, "caller must check ff_bwd_supported"
+    y2d = y.reshape(m, dim)
+    g2d = g.reshape(m, dim)
+
+    row = lambda t: t.reshape(1, -1)
+    tile_spec = pl.BlockSpec((rows, dim), lambda i: (i, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((m, dim), y.dtype),  # dy
+        jax.ShapeDtypeStruct((1, dim), f32),      # dln2s
+        jax.ShapeDtypeStruct((1, dim), f32),      # dln2b
+        jax.ShapeDtypeStruct((dim, mlp), f32),    # dW1
+        jax.ShapeDtypeStruct((1, mlp), f32),      # db1
+        jax.ShapeDtypeStruct((mlp, dim), f32),    # dW2
+        jax.ShapeDtypeStruct((1, dim), f32),      # db2
+    )
+    out_specs = (
+        tile_spec,
+        const((1, dim)),
+        const((1, dim)),
+        const((dim, mlp)),
+        const((1, mlp)),
+        const((mlp, dim)),
+        const((1, dim)),
+    )
+    in_specs = [
+        tile_spec,
+        tile_spec,
+        const((1, dim)),
+        const((1, dim)),
+        const((dim, mlp)),
+        const((1, mlp)),
+        const((mlp, dim)),
+    ]
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    )
+    dy2d, dln2s, dln2b, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_ff_bwd_kernel, eps=eps),
+        out_shape=out_shape,
+        grid=(m // rows,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=params,
+        interpret=interpret,
+    )(y2d, g2d, row(ln2s), row(ln2b), w1, row(b1), w2)
+    return (
+        dy2d.reshape(b, n, dim),
+        dln2s[0].astype(ln2s.dtype),
+        dln2b[0].astype(ln2b.dtype),
+        dw1.astype(w1.dtype),
+        db1[0].astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2[0],
+    )
+
+
 def _ff_reference(y, ln2s, ln2b, w1, b1, w2, b2, *, eps):
     """XLA composite of the kernel's FF half (same dtype path: dots with
     fp32 accumulation, add-chains in the IO dtype like nn.Dense)."""
@@ -1460,16 +1724,22 @@ def _fused_layer_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
             dln2s, dln2b, dW1, db1, dW2, db2,
         )
 
-    _, ff_vjp = jax.vjp(
-        lambda y, ln2s, ln2b, w1, b1, w2, b2: _ff_reference(
-            y, ln2s, ln2b, w1, b1, w2, b2, eps=eps
-        ),
-        y, ln2s, ln2b, w1, b1, w2, b2,
-    )
-    dy, dln2s, dln2b, dW1, db1, dW2, db2 = ff_vjp(g)
+    if ff_bwd_supported(x.shape, x.dtype, x.shape[-1], w1.shape[1]):
+        dy, dln2s, dln2b, dW1, db1, dW2, db2 = _ff_pallas_backward(
+            y, g, ln2s, ln2b, w1, b1, w2, eps=eps, interpret=interpret,
+        )
+        db2 = db2.astype(b2.dtype)
+    else:
+        _, ff_vjp = jax.vjp(
+            lambda y, ln2s, ln2b, w1, b1, w2, b2: _ff_reference(
+                y, ln2s, ln2b, w1, b1, w2, b2, eps=eps
+            ),
+            y, ln2s, ln2b, w1, b1, w2, b2,
+        )
+        dy, dln2s, dln2b, dW1, db1, dW2, db2 = ff_vjp(g)
 
     if _bwd_fits_vmem(x.shape, heads, dim_head):
-        dx_ln, dW_qkv, db_qkv, dW_out, dgamma, dbeta, _ = _pallas_backward(
+        dx_ln, dW_qkv, db_qkv, dW_out, dgamma, dbeta, _, _, _ = _pallas_backward(
             x, dy, w_qkv, b_qkv, w_out, ln1s, ln1b,
             heads=heads, dim_head=dim_head, scale=scale, eps=eps,
             interpret=interpret,
@@ -1802,8 +2072,9 @@ def fused_attention_block(
     ``gamma_q``/``gamma_k``: optional per-head qk-RMSNorm gammas, any shape
     reshapeable to (heads, dim_head) — e.g. the module's (heads, 1, dim_head)
     params (reference na_vit.py:93-103).  With qk-norm the default ``scale``
-    is 1.0 (the sqrt(dh) factor lives inside the norm) and the backward
-    differentiates the XLA composite (recompute-from-x, same memory).
+    is 1.0 (the sqrt(dh) factor lives inside the norm); both the forward
+    and the Pallas backward recompute the RMSNorms in-kernel (round 4), so
+    qk-norm composes with kernel-tier dropout.
 
     ``use_pallas=None`` auto-selects: Pallas on TPU when supported, XLA
     composite otherwise (CPU tests, unsupported shapes/dtypes).
@@ -1822,12 +2093,6 @@ def fused_attention_block(
     if gamma_q is not None:
         gamma_q = gamma_q.reshape(heads, dim_head)
         gamma_k = gamma_k.reshape(heads, dim_head)
-        if dropout_rate > 0.0:
-            raise ValueError(
-                "qk-norm + kernel-tier dropout is unsupported (the qk-norm "
-                "backward uses the XLA composite, which cannot replay the "
-                "in-kernel PRNG masks) — eligibility should exclude it"
-            )
     if scale is None:
         scale = 1.0 if gamma_q is not None else dim_head**-0.5
     if dropout_rate > 0.0 and dropout_seed is None:
