@@ -86,22 +86,25 @@ def test_whole_layer_grads_match_composite():
         )
 
 
-def test_ff_pallas_backward_matches_vjp():
-    """The row-tiled Pallas FF backward (opt-in, VIT_TPU_ENABLE_FF_BWD)
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_ff_pallas_backward_matches_vjp(hybrid):
+    """The row-tiled Pallas FF backward (opt-in, VIT_TPU_FF_BWD=full|hybrid)
     must agree with autodiff through _ff_reference on every operand —
     multi-tile shape (M=192 → three 64-row grid steps) so the f32
     accumulator carry across the sequential grid is exercised."""
     from vit_pytorch_tpu.ops.fused_block import (
-        _ff_bwd_rows, _ff_pallas_backward, ff_bwd_supported,
+        _ff_bwd_rows, _ff_pallas_backward, ff_bwd_mode,
     )
 
     b, n = 2, 96
     assert _ff_bwd_rows(b * n) == 64
-    os.environ["VIT_TPU_ENABLE_FF_BWD"] = "1"
+    os.environ["VIT_TPU_FF_BWD"] = "hybrid" if hybrid else "full"
     try:
-        assert ff_bwd_supported((b, n, DIM), jnp.float32, DIM, MLP)
+        assert ff_bwd_mode((b, n, DIM), jnp.float32, DIM, MLP) == (
+            "hybrid" if hybrid else "full"
+        )
     finally:
-        os.environ.pop("VIT_TPU_ENABLE_FF_BWD", None)
+        os.environ.pop("VIT_TPU_FF_BWD", None)
     ks = jax.random.split(jax.random.PRNGKey(7), 9)
     y = jax.random.normal(ks[0], (b, n, DIM), jnp.float32)
     g = jax.random.normal(ks[1], (b, n, DIM), jnp.float32)
@@ -120,7 +123,7 @@ def test_ff_pallas_backward_matches_vjp():
     )
     want = vjp(g)
     got = _ff_pallas_backward(y, g, ln2s, ln2b, w1, b1, w2, eps=1e-5,
-                              interpret=True)
+                              interpret=True, hybrid=hybrid)
     names = ("dy", "dln2s", "dln2b", "dw1", "db1", "dw2", "db2")
     for name, a, b_ in zip(names, got, want):
         np.testing.assert_allclose(

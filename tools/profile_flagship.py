@@ -132,12 +132,19 @@ def analyze(logdir: str, top: int = 25):
     by_op = collections.Counter()
     by_cat = collections.Counter()
     count = collections.Counter()
+    shape_re = re.compile(r"= ((?:\([^)]*\))|(?:\w+\[[\d,]*\]))")
     for e in op_line.events:
         hlo = dev.event_metadata[e.metadata_id].name
         nm = _NAME_RE.match(hlo)
-        key = nm.group(1) if nm else hlo[:60]
-        # strip SSA numbering so the 12 per-layer clones aggregate
-        key = re.sub(r"\.\d+$", "", key)
+        name = re.sub(r"\.\d+$", "", nm.group(1)) if nm else hlo[:40]
+        # control-flow wrappers ENCLOSE their body ops — counting them
+        # would double every ps spent inside a fori_loop
+        if re.search(r"\) (while|conditional|call)\(", hlo):
+            continue
+        sh = shape_re.search(hlo)
+        # (base name, output shape) so the 12 per-layer clones aggregate but
+        # distinct GEMMs/fusions stay distinguishable
+        key = f"{name} -> {sh.group(1) if sh else '?'}"
         by_op[key] += e.duration_ps
         by_cat[_classify(hlo)] += e.duration_ps
         count[key] += 1

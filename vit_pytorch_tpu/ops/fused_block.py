@@ -1470,7 +1470,7 @@ def _layer_pallas_backward(
     )
 
 
-def _ff_bwd_kernel(*refs, eps: float):
+def _ff_bwd_kernel(*refs, eps: float, hybrid: bool = False):
     """FF-block backward over a ROW TILE of the flattened (b·n, dim) batch:
     recompute LN2→fc1→GELU in VMEM, accumulate dW1/dW2/db/dLN in f32 VMEM
     across the sequential row grid, write the dy tile.
@@ -1486,16 +1486,34 @@ def _ff_bwd_kernel(*refs, eps: float):
     NOTE dy here is the cotangent of the FULL layer output z = y + FF(y)
     routed to y, i.e. it INCLUDES the residual-path g (matches what
     jax.vjp(_ff_reference) returned in the decomposed backward).
+
+    ``hybrid``: instead of accumulating dW1/dW2 in VMEM, EMIT the operand
+    tensors (y2 = LN2(y) post-scale, act = GELU output, dh1) so the wrapper
+    contracts them with two large XLA GEMMs (which XLA then fuses straight
+    into the adam update, measured ~79% MXU) — the kernel keeps only what
+    XLA does badly: the LN backward and the vector-grad reductions, which
+    profile as ~117 separate ~1 ms bandwidth-bound fusions per train step
+    (tools/profile_flagship.py --train).
     """
-    (y_ref, g_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
-     dy_ref, dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref) = refs
+    if hybrid:
+        (y_ref, g_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+         dy_ref, y2_ref, act_ref, dh1_ref,
+         dln2s_ref, dln2b_ref, db1_ref, db2_ref) = refs
+        dw1_ref = dw2_ref = None
+    else:
+        (y_ref, g_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+         dy_ref, dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref) = refs
+        y2_ref = act_ref = dh1_ref = None
     i = pl.program_id(0)
     prec = _kernel_dot_precision(y_ref.dtype)
     io_dtype = y_ref.dtype
 
     @pl.when(i == 0)
     def _init():
-        for ref in (dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+        accs = (dln2s_ref, dln2b_ref, db1_ref, db2_ref)
+        if not hybrid:
+            accs += (dw1_ref, dw2_ref)
+        for ref in accs:
             ref[...] = jnp.zeros_like(ref)
 
     y = y_ref[...]
@@ -1527,14 +1545,19 @@ def _ff_bwd_kernel(*refs, eps: float):
     dh1 = dact * _gelu_tanh_grad(h1)
     db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
     dh1b = dh1.astype(io_dtype)
-    dw2_ref[...] += jax.lax.dot_general(
-        act, gb, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    dw1_ref[...] += jax.lax.dot_general(
-        y2, dh1b, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
+    if hybrid:
+        y2_ref[...] = y2
+        act_ref[...] = act
+        dh1_ref[...] = dh1b
+    else:
+        dw2_ref[...] += jax.lax.dot_general(
+            act, gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dw1_ref[...] += jax.lax.dot_general(
+            y2, dh1b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
     dyln = jax.lax.dot_general(
         dh1b, w1_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
@@ -1573,36 +1596,57 @@ def _vmem_bytes_ff_bwd(rows: int, dim: int, mlp: int, itemsize: int) -> int:
 _FF_BWD_EST_LIMIT = int(100 * 1024 * 1024)
 
 
-def ff_bwd_supported(x_shape, dtype, dim: int, mlp_dim: int) -> bool:
-    """Gate for the row-tiled Pallas FF backward.
+def ff_bwd_mode(x_shape, dtype, dim: int, mlp_dim: int) -> str:
+    """Mode for the row-tiled Pallas FF backward: '' (off — the default),
+    'full' (dW accumulated in VMEM) or 'hybrid' (kernel does LN-bwd +
+    vector-grad reductions, emits y2/act/dh1 for XLA's dW GEMMs).
 
-    OPT-IN (``VIT_TPU_ENABLE_FF_BWD=1``), not default: measured on v5e
-    (ViT-B bs=1024, tools/bench_train_decomp.py, same-session A/B) the
-    kernel is ~15 ms/step SLOWER than XLA's FF vjp — fwd+bwd 975.6 vs
-    960.4 ms.  The hypothesis was that the vjp's GELU-hidden and dh HBM
-    round-trips (~5 GB/layer) were unfused; in practice XLA's backward
-    already runs within noise of its memory envelope, and the kernel's
-    5-GEMM serial chain per row tile pays back whatever the eliminated
-    streams saved.  Kept as a measured variant (same status as the
-    whole-layer backward): the balance may flip at larger mlp ratios or
-    on hardware with slower HBM."""
+    OPT-IN via ``VIT_TPU_FF_BWD=full|hybrid`` (legacy
+    ``VIT_TPU_ENABLE_FF_BWD=1`` → full), not default — both variants were
+    measured on v5e ViT-B bs=1024 (tools/bench_train_decomp.py,
+    same-session A/Bs) and LOST to XLA's FF vjp:
+
+    - full:   fwd+bwd 975.6 vs 960.4 ms (+15) — the in-VMEM dW chain costs
+      more than the eliminated GELU-hidden/dh HBM streams.
+    - hybrid: fwd+bwd 972.8 vs 960.4 ms (+12), full step 997.2 vs 979.4 —
+      the emitted y2/act/dh1 streams (~2.8 GB/layer of writes, of which
+      act/dh1 XLA also materializes but overlapped differently) cost as
+      much as the ~117 × ~1 ms bandwidth-bound LN-bwd/reduction fusions
+      they replace (profiled at ~119 ms/step,
+      tools/profile_flagship.py --train).
+
+    Decision record: XLA's FF backward stands as the measured winner; the
+    backward runs at ~94% of its memory-bounded envelope and both kernel
+    formulations of the remaining 6% pay more than they save."""
     import os
 
-    if not os.environ.get("VIT_TPU_ENABLE_FF_BWD"):
-        return False
+    mode = os.environ.get("VIT_TPU_FF_BWD", "")
+    if not mode and os.environ.get("VIT_TPU_ENABLE_FF_BWD"):
+        mode = "full"
+    if mode not in ("full", "hybrid"):
+        return ""
     b, n, d = x_shape
     rows = _ff_bwd_rows(b * n)
     if rows == 0:
-        return False
+        return ""
     itemsize = jnp.dtype(dtype).itemsize
-    return _vmem_bytes_ff_bwd(rows, dim, mlp_dim, itemsize) <= _FF_BWD_EST_LIMIT
+    if _vmem_bytes_ff_bwd(rows, dim, mlp_dim, itemsize) > _FF_BWD_EST_LIMIT:
+        return ""
+    return mode
 
 
-def _ff_pallas_backward(y, g, ln2s, ln2b, w1, b1, w2, *, eps, interpret=False):
+def ff_bwd_supported(x_shape, dtype, dim: int, mlp_dim: int) -> bool:
+    return bool(ff_bwd_mode(x_shape, dtype, dim, mlp_dim))
+
+
+def _ff_pallas_backward(y, g, ln2s, ln2b, w1, b1, w2, *, eps,
+                        interpret=False, hybrid=False):
     """dy, dln2s, dln2b, dW1, db1, dW2, db2 for z = y + FF(LN2(y)) + b2.
 
     Row-tiled Pallas kernel; see ``_ff_bwd_kernel``.  ``db2`` is returned
-    even though b2's value is never read (db2 = Σg)."""
+    even though b2's value is never read (db2 = Σg).  ``hybrid``: the
+    kernel emits y2/act/dh1 and the dW contractions run as two large XLA
+    GEMMs here (which XLA fuses into the optimizer update)."""
     b, n, dim = y.shape
     mlp = w1.shape[1]
     m = b * n
@@ -1613,26 +1657,38 @@ def _ff_pallas_backward(y, g, ln2s, ln2b, w1, b1, w2, *, eps, interpret=False):
 
     row = lambda t: t.reshape(1, -1)
     tile_spec = pl.BlockSpec((rows, dim), lambda i: (i, 0))
+    mlp_tile = pl.BlockSpec((rows, mlp), lambda i: (i, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     f32 = jnp.float32
-    out_shape = (
-        jax.ShapeDtypeStruct((m, dim), y.dtype),  # dy
+    vec_shapes = (
         jax.ShapeDtypeStruct((1, dim), f32),      # dln2s
         jax.ShapeDtypeStruct((1, dim), f32),      # dln2b
-        jax.ShapeDtypeStruct((dim, mlp), f32),    # dW1
         jax.ShapeDtypeStruct((1, mlp), f32),      # db1
-        jax.ShapeDtypeStruct((mlp, dim), f32),    # dW2
         jax.ShapeDtypeStruct((1, dim), f32),      # db2
     )
-    out_specs = (
-        tile_spec,
-        const((1, dim)),
-        const((1, dim)),
-        const((dim, mlp)),
-        const((1, mlp)),
-        const((mlp, dim)),
-        const((1, dim)),
-    )
+    vec_specs = (const((1, dim)), const((1, dim)), const((1, mlp)),
+                 const((1, dim)))
+    if hybrid:
+        out_shape = (
+            jax.ShapeDtypeStruct((m, dim), y.dtype),  # dy
+            jax.ShapeDtypeStruct((m, dim), y.dtype),  # y2
+            jax.ShapeDtypeStruct((m, mlp), y.dtype),  # act
+            jax.ShapeDtypeStruct((m, mlp), y.dtype),  # dh1
+        ) + vec_shapes
+        out_specs = (tile_spec, tile_spec, mlp_tile, mlp_tile) + vec_specs
+    else:
+        out_shape = (
+            jax.ShapeDtypeStruct((m, dim), y.dtype),  # dy
+            vec_shapes[0], vec_shapes[1],
+            jax.ShapeDtypeStruct((dim, mlp), f32),    # dW1
+            vec_shapes[2],
+            jax.ShapeDtypeStruct((mlp, dim), f32),    # dW2
+            vec_shapes[3],
+        )
+        out_specs = (
+            tile_spec, vec_specs[0], vec_specs[1], const((dim, mlp)),
+            vec_specs[2], const((mlp, dim)), vec_specs[3],
+        )
     in_specs = [
         tile_spec,
         tile_spec,
@@ -1647,8 +1703,8 @@ def _ff_pallas_backward(y, g, ln2s, ln2b, w1, b1, w2, *, eps, interpret=False):
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
     )
-    dy2d, dln2s, dln2b, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_ff_bwd_kernel, eps=eps),
+    results = pl.pallas_call(
+        functools.partial(_ff_bwd_kernel, eps=eps, hybrid=hybrid),
         out_shape=out_shape,
         grid=(m // rows,),
         in_specs=in_specs,
@@ -1656,6 +1712,19 @@ def _ff_pallas_backward(y, g, ln2s, ln2b, w1, b1, w2, *, eps, interpret=False):
         compiler_params=params,
         interpret=interpret,
     )(y2d, g2d, row(ln2s), row(ln2b), w1, row(b1), w2)
+    if hybrid:
+        dy2d, y2, act, dh1, dln2s, dln2b, db1, db2 = results
+        # dW as large XLA GEMMs over the flattened batch (M=dim, K=b·n) —
+        # XLA fuses these straight into the optimizer update
+        dw1 = jax.lax.dot_general(
+            y2, dh1, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        dw2 = jax.lax.dot_general(
+            act, g2d.astype(act.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    else:
+        dy2d, dln2s, dln2b, dw1, db1, dw2, db2 = results
     return (
         dy2d.reshape(b, n, dim),
         dln2s[0].astype(ln2s.dtype),
@@ -1724,9 +1793,11 @@ def _fused_layer_bwd(heads, dim_head, scale, eps, interpret, residuals, g):
             dln2s, dln2b, dW1, db1, dW2, db2,
         )
 
-    if ff_bwd_supported(x.shape, x.dtype, x.shape[-1], w1.shape[1]):
+    mode = ff_bwd_mode(x.shape, x.dtype, x.shape[-1], w1.shape[1])
+    if mode:
         dy, dln2s, dln2b, dW1, db1, dW2, db2 = _ff_pallas_backward(
             y, g, ln2s, ln2b, w1, b1, w2, eps=eps, interpret=interpret,
+            hybrid=(mode == "hybrid"),
         )
         db2 = db2.astype(b2.dtype)
     else:
