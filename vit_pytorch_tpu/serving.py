@@ -313,6 +313,15 @@ def export_model(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
         variables,
     )
+    if platforms is None:
+        # respect a jax_default_device override the same way on_tpu() does:
+        # under a pinned-CPU process (tests; the axon plugin ignores
+        # JAX_PLATFORMS) jax.export would otherwise target the idle TPU
+        # backend and the loaded program would refuse to run on CPU
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            plat = dev.split(":")[0] if isinstance(dev, str) else dev.platform
+            platforms = (plat.lower(),)
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
     exported = jexport.export(jax.jit(apply_fn, **jit_kw), **kw)(vspec, xspec)
     blob = exported.serialize()
