@@ -80,7 +80,17 @@ def main(steps: int = 20):
         return packed, jnp.asarray(lab)
 
     packed0, _ = make_batch(train=True)
-    params = model.init(
+    # jitted single-pack init: parameter shapes don't depend on batch, and
+    # eager full-batch init can RESOURCE_EXHAUST the remote chip (see
+    # utils/helpers.py jit_init)
+    from vit_pytorch_tpu.utils.helpers import jit_init
+
+    packed0 = jax.tree.map(
+        lambda x: x[:1] if hasattr(x, "ndim") and getattr(x, "ndim", 0) else x,
+        packed0,
+    )
+    params = jit_init(
+        model,
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         packed0,
         train=False,

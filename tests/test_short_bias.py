@@ -1,0 +1,111 @@
+"""Per-head-bias short-attention kernel (windowed attention path).
+
+MaxViT/LeViT-style windowed attention adds a learned rel-pos table —
+shape (h, n, m), shared by every window in the batch (reference
+max_vit.py:150-189).  These tests check the short kernel's bias path
+(forward and the XLA-remat backward, incl. dbias) in interpret mode, and
+that MaxViT's WindowAttention routes through the dispatcher identically
+on both backends.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vit_pytorch_tpu.ops.attention import dot_product_attention, xla_attention
+from vit_pytorch_tpu.ops.short_attention import short_attention
+
+_RNG = np.random.default_rng(0)
+
+
+def _qkvb(b, h, n, m, d):
+    q = jnp.asarray(_RNG.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(_RNG.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(_RNG.normal(size=(b, h, m, d)), jnp.float32)
+    bias = jnp.asarray(_RNG.normal(size=(h, n, m)), jnp.float32)
+    return q, k, v, bias
+
+
+@pytest.mark.parametrize(
+    "b,h,n,m,d,group",
+    [
+        (6, 4, 49, 49, 32, 8),   # MaxViT window shape (group > h → shrinks)
+        (2, 3, 49, 49, 32, 8),   # h not a power of two → group falls to 1
+        (1, 8, 65, 130, 64, 4),  # rectangular n≠m (LeViT downsampling)
+    ],
+)
+def test_short_bias_forward(b, h, n, m, d, group):
+    q, k, v, bias = _qkvb(b, h, n, m, d)
+    got = short_attention(q, k, v, bias=bias, group=group, interpret=True)
+    want = xla_attention(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_short_bias_grads_including_dbias():
+    q, k, v, bias = _qkvb(2, 4, 49, 49, 32)
+    w = jnp.asarray(_RNG.normal(size=q.shape), jnp.float32)
+
+    def loss_kernel(q, k, v, bias):
+        return jnp.sum(short_attention(q, k, v, bias=bias, interpret=True) * w)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(xla_attention(q, k, v, bias=bias) * w)
+
+    got = jax.grad(loss_kernel, (0, 1, 2, 3))(q, k, v, bias)
+    want = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, bias)
+    assert got[3].shape == bias.shape  # dbias reduced over batch
+    for g, e in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=2e-4, rtol=1e-3)
+
+
+def test_short_bias_shape_validation():
+    q, k, v, bias = _qkvb(1, 2, 16, 16, 8)
+    with pytest.raises(ValueError):
+        short_attention(q, k, v, bias=bias[:1], interpret=True)
+
+
+def test_dispatcher_routes_per_head_bias(monkeypatch):
+    """VIT_TPU_WINDOW_KERNEL=1 sends (h, n, m)-bias shapes to the short
+    kernel; the result must match the default XLA route bit-for-bit in f32
+    softmax terms (same math, interpret mode)."""
+    q, k, v, bias = _qkvb(2, 4, 49, 49, 32)
+    base = dot_product_attention(q, k, v, bias=bias)
+
+    monkeypatch.setenv("VIT_TPU_WINDOW_KERNEL", "1")
+    routed = dot_product_attention(q, k, v, bias=bias, use_flash=True)
+    np.testing.assert_allclose(np.asarray(routed), np.asarray(base), atol=2e-5)
+
+    # batch-varying bias stays on XLA even when opted in (no kernel support)
+    bias4 = jnp.broadcast_to(bias, (2, 4, 49, 49))
+    got = dot_product_attention(q, k, v, bias=bias4, use_flash=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=2e-5)
+
+
+def test_maxvit_window_attention_same_on_both_routes(monkeypatch):
+    from vit_pytorch_tpu.models.max_vit import WindowAttention
+
+    x = jnp.asarray(_RNG.normal(size=(2, 2, 2, 7, 7, 64)), jnp.float32)
+    m = WindowAttention(dim=64, dim_head=32, window_size=7)
+    params = m.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.delenv("VIT_TPU_WINDOW_KERNEL", raising=False)
+    base = m.apply(params, x)
+    monkeypatch.setenv("VIT_TPU_WINDOW_KERNEL", "1")
+    # on CPU the dispatcher's on_tpu() gate keeps XLA; force the kernel route
+    from vit_pytorch_tpu.ops import attention as attn_mod
+
+    calls = {}
+    orig = attn_mod.dot_product_attention
+
+    def spy(*a, **kw):
+        calls["bias_ndim"] = kw.get("bias").ndim if kw.get("bias") is not None else None
+        kw["use_flash"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr("vit_pytorch_tpu.models.max_vit.dot_product_attention", spy)
+    routed = m.apply(params, x)
+    assert calls["bias_ndim"] == 3  # per-head table reached the dispatcher
+    np.testing.assert_allclose(np.asarray(routed), np.asarray(base), atol=2e-5)

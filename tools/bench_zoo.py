@@ -42,6 +42,17 @@ def _bf16(tree):
     return jax.tree.map(lambda x: x.astype(jnp.bfloat16), tree)
 
 
+def _init(model, rngs, *args, **kwargs):
+    # jitted init: eager flax init at large batch RESOURCE_EXHAUSTs the
+    # remote chip (see utils/helpers.py jit_init docstring)
+    from vit_pytorch_tpu.utils.helpers import jit_init
+
+    return jit_init(model, rngs, *args, **kwargs)
+
+
+_PEAK_TFLOPS = 197.0  # v5e bf16 MXU peak — same constant as bench.py roofline
+
+
 def _measure(fn, *args, repeats=3):
     """fn(*args) -> scalar; returns best wall seconds over `repeats`."""
     float(fn(*args))  # compile + warm
@@ -53,7 +64,25 @@ def _measure(fn, *args, repeats=3):
     return best
 
 
+def _mfu(jitted, args, seconds, iters):
+    """MXU utilization from the compiled executable's own FLOP count.
+
+    XLA's cost analysis counts *executed* HLO flops (so remat recompute is
+    charged, padding is not) — an honest hardware-utilization denominator.
+    Returns a ', N GFLOP/step, M% MXU' suffix, or '' when the backend
+    can't report cost analysis (interpret/CPU smoke runs)."""
+    try:
+        flops = jitted.lower(*args).compile().cost_analysis()["flops"]
+    except Exception:
+        return ""
+    per_step = flops / iters
+    pct = per_step / seconds / (_PEAK_TFLOPS * 1e12) * 100.0
+    return f", {per_step / 1e9:.1f} GFLOP/step, {pct:.1f}% MXU"
+
+
 def _chained_forward(model, params, x, iters, **apply_kw):
+    """Returns (seconds/step, mfu_suffix)."""
+
     @jax.jit
     def loop(params, x):
         def body(i, acc):
@@ -62,7 +91,8 @@ def _chained_forward(model, params, x, iters, **apply_kw):
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    return _measure(loop, params, x) / iters
+    s = _measure(loop, params, x) / iters
+    return s, _mfu(loop, (params, x), s, iters)
 
 
 def bench_vit_readme():
@@ -72,9 +102,9 @@ def bench_vit_readme():
     model = ViT(image_size=256, patch_size=32, num_classes=1000, dim=1024,
                 depth=6, heads=16, mlp_dim=2048, dropout=0.1, emb_dropout=0.1)
     img = jax.random.normal(jax.random.PRNGKey(0), (batch, 3, 256, 256), jnp.bfloat16)
-    params = _bf16(model.init(jax.random.PRNGKey(0), img[:1].astype(jnp.float32)))
-    s = _chained_forward(model, params, img, iters)
-    print(f"vit_readme    bs={batch}: {batch / s:.0f} img/s, {s * 1e3:.2f} ms/step")
+    params = _bf16(_init(model, jax.random.PRNGKey(0), img[:1].astype(jnp.float32)))
+    s, mfu = _chained_forward(model, params, img, iters)
+    print(f"vit_readme    bs={batch}: {batch / s:.0f} img/s, {s * 1e3:.2f} ms/step{mfu}")
 
 
 def bench_simple_vit():
@@ -84,9 +114,9 @@ def bench_simple_vit():
     model = SimpleViT(image_size=256, patch_size=32, num_classes=1000, dim=1024,
                       depth=6, heads=16, mlp_dim=2048)
     img = jax.random.normal(jax.random.PRNGKey(0), (batch, 3, 256, 256), jnp.bfloat16)
-    params = _bf16(model.init(jax.random.PRNGKey(0), img[:1].astype(jnp.float32)))
-    s = _chained_forward(model, params, img, iters)
-    print(f"simple_vit    bs={batch}: {batch / s:.0f} img/s, {s * 1e3:.2f} ms/step")
+    params = _bf16(_init(model, jax.random.PRNGKey(0), img[:1].astype(jnp.float32)))
+    s, mfu = _chained_forward(model, params, img, iters)
+    print(f"simple_vit    bs={batch}: {batch / s:.0f} img/s, {s * 1e3:.2f} ms/step{mfu}")
 
 
 def bench_navit_packed():
@@ -112,7 +142,13 @@ def bench_navit_packed():
         lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
         packed,
     )
-    params = _bf16(model.init(jax.random.PRNGKey(0), packed, train=False))
+    # init on a single pack: param shapes are batch-independent, and the
+    # full-batch eager init was the measured OOM (PERF_NOTES round 4)
+    packed1 = jax.tree.map(
+        lambda x: x[:1] if hasattr(x, "ndim") and getattr(x, "ndim", 0) else x,
+        packed,
+    )
+    params = _bf16(_init(model, jax.random.PRNGKey(0), packed1, train=False))
     n_img = len(images)
 
     @jax.jit
@@ -124,8 +160,9 @@ def bench_navit_packed():
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     s = _measure(loop, params, packed) / iters
+    mfu = _mfu(loop, (params, packed), s, iters)
     print(f"navit_packed  {n_img} var-res imgs/step: {n_img / s:.0f} img/s, "
-          f"{s * 1e3:.2f} ms/step")
+          f"{s * 1e3:.2f} ms/step{mfu}")
 
 
 def bench_max_vit():
@@ -135,9 +172,9 @@ def bench_max_vit():
     model = MaxViT(num_classes=1000, dim_conv_stem=64, dim=96, dim_head=32,
                    depth=(2, 2, 5, 2), window_size=7, dropout=0.1)
     img = jax.random.normal(jax.random.PRNGKey(0), (batch, 3, 224, 224), jnp.bfloat16)
-    params = _bf16(model.init(jax.random.PRNGKey(0), img[:1].astype(jnp.float32)))
-    s = _chained_forward(model, params, img, iters)
-    print(f"max_vit       bs={batch}: {batch / s:.0f} img/s, {s * 1e3:.2f} ms/step")
+    params = _bf16(_init(model, jax.random.PRNGKey(0), img[:1].astype(jnp.float32)))
+    s, mfu = _chained_forward(model, params, img, iters)
+    print(f"max_vit       bs={batch}: {batch / s:.0f} img/s, {s * 1e3:.2f} ms/step{mfu}")
 
 
 def bench_vivit():
@@ -150,9 +187,9 @@ def bench_vivit():
     video = jax.random.normal(
         jax.random.PRNGKey(0), (batch, 3, 16, 128, 128), jnp.bfloat16
     )
-    params = _bf16(model.init(jax.random.PRNGKey(0), video[:1].astype(jnp.float32)))
-    s = _chained_forward(model, params, video, iters)
-    print(f"vivit         bs={batch}: {batch / s:.1f} videos/s, {s * 1e3:.2f} ms/step")
+    params = _bf16(_init(model, jax.random.PRNGKey(0), video[:1].astype(jnp.float32)))
+    s, mfu = _chained_forward(model, params, video, iters)
+    print(f"vivit         bs={batch}: {batch / s:.1f} videos/s, {s * 1e3:.2f} ms/step{mfu}")
 
 
 def bench_mae_pretrain():
@@ -167,7 +204,8 @@ def bench_mae_pretrain():
     model = MAE(encoder=encoder, masking_ratio=0.75, decoder_dim=512,
                 decoder_depth=6)
     img = jax.random.normal(jax.random.PRNGKey(0), (batch, 3, 256, 256), jnp.bfloat16)
-    params = model.init(
+    params = _init(
+        model,
         {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
         img[:1].astype(jnp.float32),
     )
@@ -199,8 +237,9 @@ def bench_mae_pretrain():
         )
 
     s = _measure(loop, params, opt_state, img, jax.random.PRNGKey(2)) / iters
+    mfu = _mfu(loop, (params, opt_state, img, jax.random.PRNGKey(2)), s, iters)
     print(f"mae_pretrain  bs={batch}: {batch / s:.0f} img/s/trainstep, "
-          f"{s * 1e3:.2f} ms/step")
+          f"{s * 1e3:.2f} ms/step{mfu}")
 
 
 ALL = {

@@ -25,6 +25,7 @@ import flax.linen as nn
 
 from ..nn.blocks import LN_EPS
 from ..nn.blocks import gelu as _gelu
+from ..ops.attention import dot_product_attention
 from ..utils.helpers import default
 from einops import rearrange
 
@@ -141,21 +142,24 @@ class WindowAttention(nn.Module):
             return t.reshape(bb, n, h, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = map(split_heads, (q, k, v))
-        q = q * self.dim_head**-0.5
-
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
 
         table = self.param(
             "rel_pos_bias", nn.initializers.normal(1.0), ((2 * w - 1) ** 2, h)
         )
         idx = rel_pos_indices(w)
-        bias = table[idx]  # (w2, w2, h)
-        sim = sim + bias.transpose(2, 0, 1).astype(sim.dtype)
+        bias = table[idx].transpose(2, 0, 1)  # (h, w², w²)
 
-        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        # unified dispatcher: XLA fused attention by default; the per-head
+        # bias qualifies for the Pallas short kernel (VIT_TPU_WINDOW_KERNEL)
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            scale=self.dim_head**-0.5,
+            bias=bias,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if train and self.dropout > 0 else None,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(b * gx * gy, w1 * w2, self.dim)
         out = nn.Dense(self.dim, use_bias=False, name="to_out")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -25,6 +25,7 @@ Reference behaviours covered (file:line cite into /root/reference):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -152,6 +153,13 @@ def dot_product_attention(
     """
     n, m = q.shape[-2], k.shape[-2]
 
+    # per-head additive bias of shape (h, n, m) — a rel-pos table shared by
+    # the whole batch (windowed attention).  The short kernel consumes it
+    # directly; batch-varying (b, h, n, m) biases stay on the XLA path.
+    per_head_bias = bias is not None and bias.ndim == 3 and bias.shape == (
+        q.shape[1], n, m
+    )
+
     # train-time dropout runs INSIDE the flash kernels (TPU PRNG, tile-wise
     # masks the backward regenerates) — but only without bias (its backward
     # is an XLA rematerialization that can't replay the masks) and on TPU
@@ -174,13 +182,22 @@ def dot_product_attention(
         # inside a fusion); the Pallas kernels win for long / packed sequences
         # where the materialized matrix would be HBM-bound (measured on v5e:
         # n=197 XLA ≈ 1 ms/layer fused vs 2.2 ms pallas; n=2048 segs flash ≫).
+        # VIT_TPU_WINDOW_KERNEL=1 opts per-head-bias windowed shapes into the
+        # short kernel (A/B knob, docs/PERF_NOTES.md round 4).
+        window_opt_in = (
+            per_head_bias
+            and dropout_rate == 0.0
+            and os.environ.get("VIT_TPU_WINDOW_KERNEL", "0") == "1"
+        )
         use_flash = (
-            kernel_ok and on_tpu() and (m >= 1024 or q_segment_ids is not None)
+            kernel_ok
+            and on_tpu()
+            and (m >= 1024 or q_segment_ids is not None or window_opt_in)
         )
 
     if use_flash and kernel_ok:
         if (
-            bias is None
+            (bias is None or per_head_bias)
             and q_segment_ids is None
             and not causal
             and dropout_rate == 0.0
@@ -189,7 +206,7 @@ def dot_product_attention(
             # short-sequence fast path: whole kv row in VMEM, one-shot softmax
             from .short_attention import short_attention as _short
 
-            return _short(q, k, v, scale=scale)
+            return _short(q, k, v, scale=scale, bias=bias)
 
         from .flash_attention import flash_attention as _flash
 

@@ -25,6 +25,7 @@ windows where XLA is already fine).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -33,8 +34,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# 512×512 measured best on v5e for packed-NaViT shapes (256 costs 1.6×,
+# docs/PERF_NOTES.md); env overrides exist for hardware sweeps only
+DEFAULT_BLOCK_Q = int(os.environ.get("VIT_TPU_FLASH_BLOCK_Q", 512))
+DEFAULT_BLOCK_K = int(os.environ.get("VIT_TPU_FLASH_BLOCK_K", 512))
 
 _NEG_INF = -1e30
 _LANES = 128

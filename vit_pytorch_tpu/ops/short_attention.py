@@ -28,7 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .flash_attention import _NEG_INF, _round_up
 
 
-def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, group, n_pad):
+def _short_kernel(*refs, scale, kv_len, group, n_pad, has_bias):
+    if has_bias:
+        q_ref, k_ref, v_ref, b_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        b_ref = None
     for g in range(group):
         q = q_ref[g]
         k = k_ref[g]
@@ -36,6 +41,10 @@ def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, group, n_pad):
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * scale
+        if has_bias:
+            # per-head additive bias (rel-pos tables): the block's g-th row
+            # is the head of the g-th (b·h) slice — see index_map below
+            s = s + b_ref[g]
         if kv_len != n_pad:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG_INF)
@@ -55,16 +64,19 @@ def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, group, n_pad):
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _vmem_bytes(group, n_pad, m_pad, d, itemsize):
+def _vmem_bytes(group, n_pad, m_pad, d, itemsize, has_bias=False):
     """q/k/v/o blocks double-buffered across grid steps + the fp32 logits
     matrix for the slice in flight."""
     io = group * (2 * n_pad * d + 2 * m_pad * d) * itemsize
+    if has_bias:
+        io += group * n_pad * m_pad * 4
     return 2 * io + 2 * n_pad * m_pad * 4
 
 
-def _short_forward(q, k, v, scale, group, interpret):
+def _short_forward(q, k, v, bias, scale, group, interpret):
     b, h, n, d = q.shape
     m = k.shape[2]
+    has_bias = bias is not None
 
     n_pad = _round_up(n, 128)
     m_pad = _round_up(m, 128)
@@ -73,7 +85,9 @@ def _short_forward(q, k, v, scale, group, interpret):
     # shrink the group until the working set fits VMEM (large n·d shapes);
     # if even one slice doesn't fit, this shape has no short path — the
     # dispatcher's caller falls back to XLA (see short_attention()).
-    while group > 1 and _vmem_bytes(group, n_pad, m_pad, d, itemsize) > _VMEM_BUDGET:
+    while group > 1 and _vmem_bytes(
+        group, n_pad, m_pad, d, itemsize, has_bias
+    ) > _VMEM_BUDGET:
         group //= 2
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
@@ -83,38 +97,59 @@ def _short_forward(q, k, v, scale, group, interpret):
     bh = b * h
     while bh % group != 0:
         group //= 2
+    if has_bias:
+        # a group of consecutive (b·h) slices must span consecutive heads of
+        # one image so the bias block (group rows of the padded per-head
+        # table) aligns with the q/k/v block rows → group must divide h
+        # (largest divisor ≤ group, e.g. h=3 → 3, not the halving loop's 1)
+        if h % group != 0:
+            group = max(g for g in range(1, min(group, h) + 1) if h % g == 0)
+        bp = jnp.pad(
+            bias.astype(jnp.float32),
+            ((0, 0), (0, n_pad - n), (0, m_pad - m)),
+        )
     qp = qp.reshape(bh, n_pad, d)
     kp = kp.reshape(bh, m_pad, d)
     vp = vp.reshape(bh, m_pad, d)
 
+    in_specs = [
+        pl.BlockSpec((group, n_pad, d), lambda g: (g, 0, 0)),
+        pl.BlockSpec((group, m_pad, d), lambda g: (g, 0, 0)),
+        pl.BlockSpec((group, m_pad, d), lambda g: (g, 0, 0)),
+    ]
+    operands = [qp, kp, vp]
+    if has_bias:
+        hg = h // group  # bias block index for grid step g: head (g·group)%h
+        in_specs.append(
+            pl.BlockSpec((group, n_pad, m_pad), lambda g: (g % hg, 0, 0))
+        )
+        operands.append(bp)
+
     out = pl.pallas_call(
         functools.partial(
-            _short_kernel, scale=scale, kv_len=m, group=group, n_pad=m_pad
+            _short_kernel, scale=scale, kv_len=m, group=group, n_pad=m_pad,
+            has_bias=has_bias,
         ),
         grid=(bh // group,),
-        in_specs=[
-            pl.BlockSpec((group, n_pad, d), lambda g: (g, 0, 0)),
-            pl.BlockSpec((group, m_pad, d), lambda g: (g, 0, 0)),
-            pl.BlockSpec((group, m_pad, d), lambda g: (g, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((group, n_pad, d), lambda g: (g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(*operands)
 
     return out.reshape(b, h, n_pad, d)[:, :, :n, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _short_attention_core(q, k, v, scale, group, interpret):
-    return _short_forward(q, k, v, scale, group, interpret)
+    return _short_forward(q, k, v, None, scale, group, interpret)
 
 
 def _fwd(q, k, v, scale, group, interpret):
-    return _short_forward(q, k, v, scale, group, interpret), (q, k, v)
+    return _short_forward(q, k, v, None, scale, group, interpret), (q, k, v)
 
 
 def _bwd(scale, group, interpret, residuals, g):
@@ -130,16 +165,49 @@ def _bwd(scale, group, interpret, residuals, g):
 _short_attention_core.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _short_attention_bias_core(q, k, v, bias, scale, group, interpret):
+    return _short_forward(q, k, v, bias, scale, group, interpret)
+
+
+def _fwd_bias(q, k, v, bias, scale, group, interpret):
+    return (
+        _short_forward(q, k, v, bias, scale, group, interpret),
+        (q, k, v, bias),
+    )
+
+
+def _bwd_bias(scale, group, interpret, residuals, g):
+    from .attention import xla_attention
+
+    q, k, v, bias = residuals
+    dq, dk, dv, dbias = jax.vjp(
+        lambda q, k, v, bias: xla_attention(q, k, v, scale=scale, bias=bias),
+        q, k, v, bias,
+    )[1](g)
+    return dq, dk, dv, dbias
+
+
+_short_attention_bias_core.defvjp(_fwd_bias, _bwd_bias)
+
+
 def short_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
     scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
     group: int = 8,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Unmasked short-sequence attention.  q: (b, h, n, d) → (b, h, n, d).
+    """Short-sequence attention.  q: (b, h, n, d) → (b, h, n, d).
+
+    ``bias``: optional per-head additive logits bias of shape (h, n, m) —
+    the learned rel-pos tables of windowed attention (reference
+    max_vit.py:150-189, levit.py:69-88), shared across the batch (every
+    window sees the same table) so the kernel loads one (group, n, m) block
+    per grid step instead of a materialized (b·h, n, m) tensor.
 
     Shapes whose single-slice working set exceeds VMEM fall back to the XLA
     composite (the short kernel has no tiling beyond the (b·h) group)."""
@@ -147,13 +215,22 @@ def short_attention(
         scale = q.shape[-1] ** -0.5
     b, h, n, d = q.shape
     m = k.shape[2]
+    if bias is not None and bias.shape != (h, n, m):
+        raise ValueError(
+            f"short_attention bias must be (heads, n, m) = {(h, n, m)}, "
+            f"got {bias.shape}"
+        )
     if _vmem_bytes(1, _round_up(n, 128), _round_up(m, 128), d,
-                   jnp.dtype(q.dtype).itemsize) > _VMEM_BUDGET:
+                   jnp.dtype(q.dtype).itemsize, bias is not None) > _VMEM_BUDGET:
         from .attention import xla_attention
 
-        return xla_attention(q, k, v, scale=scale)
+        return xla_attention(q, k, v, scale=scale, bias=bias)
     if interpret is None:
         from .attention import on_tpu
 
         interpret = not on_tpu()
+    if bias is not None:
+        return _short_attention_bias_core(
+            q, k, v, bias, float(scale), group, interpret
+        )
     return _short_attention_core(q, k, v, float(scale), group, interpret)

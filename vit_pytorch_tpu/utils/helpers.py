@@ -28,3 +28,21 @@ def cast_tuple(t, length: int = 1):
 
 def divisible_by(numer: int, denom: int) -> bool:
     return (numer % denom) == 0
+
+
+def jit_init(model, rngs, *args, **kwargs):
+    """``model.init`` under ``jax.jit`` (kwargs are baked in as static).
+
+    Flax's ``Module.init`` executes op-by-op (eagerly) on the default device;
+    on a remote-TPU runtime each eager intermediate is a separate device
+    allocation whose deallocation lags the Python reference dying, so a
+    large-batch init can RESOURCE_EXHAUST a 16 GB chip that runs the same
+    model comfortably under jit (measured: NaViT-B init at 16×2048 packed
+    tokens OOMs; the identical init inside one XLA program does not).  Init
+    through this — ideally on batch-size-1 inputs; parameter shapes never
+    depend on batch."""
+    import functools
+
+    import jax
+
+    return jax.jit(functools.partial(model.init, **kwargs))(rngs, *args)
