@@ -44,6 +44,23 @@ def test_short_bias_forward(b, h, n, m, d, group):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_short_bias_dv_neq_dk():
+    """LeViT shapes: dim_key=32, dim_value=64 (reference levit.py:41)."""
+    b, h, n, m, dk, dv = 2, 4, 49, 49, 32, 64
+    q = jnp.asarray(_RNG.normal(size=(b, h, n, dk)), jnp.float32)
+    k = jnp.asarray(_RNG.normal(size=(b, h, m, dk)), jnp.float32)
+    v = jnp.asarray(_RNG.normal(size=(b, h, m, dv)), jnp.float32)
+    bias = jnp.asarray(_RNG.normal(size=(h, n, m)), jnp.float32)
+    got = short_attention(q, k, v, bias=bias, interpret=True)
+    want = xla_attention(q, k, v, bias=bias)
+    assert got.shape == (b, h, n, dv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # no-bias path too
+    got = short_attention(q, k, v, interpret=True)
+    want = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_short_bias_grads_including_dbias():
     q, k, v, bias = _qkvb(2, 4, 49, 49, 32)
     w = jnp.asarray(_RNG.normal(size=q.shape), jnp.float32)

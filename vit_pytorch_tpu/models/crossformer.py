@@ -18,6 +18,7 @@ from einops import rearrange
 
 from ..nn.blocks import LN_EPS
 from ..nn.blocks import gelu as _gelu
+from ..ops.attention import dot_product_attention
 from ..utils.helpers import cast_tuple
 from .max_vit import rel_pos_indices
 
@@ -99,9 +100,6 @@ class CrossFormerAttention(nn.Module):
             return t.reshape(bb, s1 * s2, h, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = map(split, (q, k, v))
-        q = q * scale
-
-        sim = jnp.einsum("whid,whjd->whij", q, k, preferred_element_type=jnp.float32)
 
         # dynamic position bias over static (2w+1)² offsets (crossformer.py:146-152)
         pos = np.arange(-wsz, wsz + 1)
@@ -110,12 +108,20 @@ class CrossFormerAttention(nn.Module):
             jnp.asarray(rel, jnp.float32)
         )
         idx = rel_pos_indices(wsz)
-        sim = sim + biases[idx].astype(sim.dtype)
+        # DPB emits one scalar per offset (head-independent); broadcast to
+        # (h, w², w²) so the dispatcher's per-head-bias kernel path applies
+        bias = jnp.broadcast_to(biases[idx], (h,) + idx.shape)
 
-        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("whij,whjd->whid", attn, v)
+        # unified dispatcher (per-head bias → short-kernel eligible)
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            scale=scale,
+            bias=bias,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if train and self.dropout > 0 else None,
+        )
         bb = out.shape[0]
         out = out.transpose(0, 2, 1, 3).reshape(bb, wsz, wsz, inner)
         out = nn.Conv(self.dim, (1, 1), name="to_out")(out)

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from ..nn.blocks import gelu as _gelu
+from ..ops.attention import dot_product_attention
 
 from ..utils.helpers import default, exists
 
@@ -95,23 +96,27 @@ class LeViTAttention(nn.Module):
         kh = to_heads(k, self.dim_key)
         vh = to_heads(v, self.dim_value)
 
-        dots = jnp.einsum(
-            "bhid,bhjd->bhij", qh, kh, preferred_element_type=jnp.float32
-        ) * scale
-
         table = self.param(
             "pos_bias",
             nn.initializers.normal(1.0),
             (self.fmap_size * self.fmap_size, h),
         )
         idx = levit_pos_indices(self.fmap_size, self.downsample)
-        bias = table[idx]  # (i, j, h)
-        dots = dots + (bias.transpose(2, 0, 1) / scale).astype(dots.dtype)[None]
+        # reference adds bias/scale AFTER scaling (levit.py:85-88) — fold the
+        # 1/scale into the per-head table handed to the dispatcher
+        bias = table[idx].transpose(2, 0, 1) / scale  # (h, i, j)
 
-        attn = jax.nn.softmax(dots, axis=-1).astype(vh.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
+        # unified dispatcher (per-head bias → short-kernel eligible; the
+        # kernel supports dim_value ≠ dim_key)
+        out = dot_product_attention(
+            qh,
+            kh,
+            vh,
+            scale=scale,
+            bias=bias,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if train and self.dropout > 0 else None,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(b, qy, qx, inner_v)
 
         out = _gelu(out)

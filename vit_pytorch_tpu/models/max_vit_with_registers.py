@@ -19,6 +19,7 @@ import flax.linen as nn
 from einops import rearrange, reduce, repeat
 
 from ..nn.blocks import LN_EPS
+from ..ops.attention import dot_product_attention
 from ..utils.helpers import default
 from .max_vit import MBConv, MaxFeedForward, rel_pos_indices
 
@@ -51,22 +52,25 @@ class RegisterWindowAttention(nn.Module):
             return t.reshape(b, n, h, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = map(split, (q, k, v))
-        q = q * self.dim_head**-0.5
-
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
 
         table = self.param(
             "rel_pos_bias", nn.initializers.normal(1.0), (num_rel + 1, h)
         )
         idx = rel_pos_indices(w)
         idx = np.pad(idx, ((r, 0), (r, 0)), constant_values=num_rel)
-        bias = table[idx]  # (r+w², r+w², h)
-        sim = sim + bias.transpose(2, 0, 1).astype(sim.dtype)
+        bias = table[idx].transpose(2, 0, 1)  # (h, r+w², r+w²)
 
-        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        # unified dispatcher: per-head bias qualifies for the Pallas short
+        # kernel under VIT_TPU_WINDOW_KERNEL (same routing as max_vit.py)
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            scale=self.dim_head**-0.5,
+            bias=bias,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if train and self.dropout > 0 else None,
+        )
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         out = nn.Dense(self.dim, use_bias=False, name="to_out")(out)

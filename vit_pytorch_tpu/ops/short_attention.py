@@ -64,10 +64,12 @@ def _short_kernel(*refs, scale, kv_len, group, n_pad, has_bias):
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _vmem_bytes(group, n_pad, m_pad, d, itemsize, has_bias=False):
+def _vmem_bytes(group, n_pad, m_pad, d, itemsize, has_bias=False, dv=None):
     """q/k/v/o blocks double-buffered across grid steps + the fp32 logits
-    matrix for the slice in flight."""
-    io = group * (2 * n_pad * d + 2 * m_pad * d) * itemsize
+    matrix for the slice in flight.  ``dv``: value/output head dim when it
+    differs from the query/key ``d`` (LeViT, reference levit.py:41)."""
+    dv = d if dv is None else dv
+    io = group * (n_pad * (d + dv) + m_pad * (d + dv)) * itemsize
     if has_bias:
         io += group * n_pad * m_pad * 4
     return 2 * io + 2 * n_pad * m_pad * 4
@@ -76,6 +78,7 @@ def _vmem_bytes(group, n_pad, m_pad, d, itemsize, has_bias=False):
 def _short_forward(q, k, v, bias, scale, group, interpret):
     b, h, n, d = q.shape
     m = k.shape[2]
+    dv = v.shape[3]
     has_bias = bias is not None
 
     n_pad = _round_up(n, 128)
@@ -86,7 +89,7 @@ def _short_forward(q, k, v, bias, scale, group, interpret):
     # if even one slice doesn't fit, this shape has no short path — the
     # dispatcher's caller falls back to XLA (see short_attention()).
     while group > 1 and _vmem_bytes(
-        group, n_pad, m_pad, d, itemsize, has_bias
+        group, n_pad, m_pad, d, itemsize, has_bias, dv
     ) > _VMEM_BUDGET:
         group //= 2
 
@@ -110,12 +113,12 @@ def _short_forward(q, k, v, bias, scale, group, interpret):
         )
     qp = qp.reshape(bh, n_pad, d)
     kp = kp.reshape(bh, m_pad, d)
-    vp = vp.reshape(bh, m_pad, d)
+    vp = vp.reshape(bh, m_pad, dv)
 
     in_specs = [
         pl.BlockSpec((group, n_pad, d), lambda g: (g, 0, 0)),
         pl.BlockSpec((group, m_pad, d), lambda g: (g, 0, 0)),
-        pl.BlockSpec((group, m_pad, d), lambda g: (g, 0, 0)),
+        pl.BlockSpec((group, m_pad, dv), lambda g: (g, 0, 0)),
     ]
     operands = [qp, kp, vp]
     if has_bias:
@@ -132,15 +135,15 @@ def _short_forward(q, k, v, bias, scale, group, interpret):
         ),
         grid=(bh // group,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((group, n_pad, d), lambda g: (g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        out_specs=pl.BlockSpec((group, n_pad, dv), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, dv), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(*operands)
 
-    return out.reshape(b, h, n_pad, d)[:, :, :n, :]
+    return out.reshape(b, h, n_pad, dv)[:, :, :n, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -221,7 +224,8 @@ def short_attention(
             f"got {bias.shape}"
         )
     if _vmem_bytes(1, _round_up(n, 128), _round_up(m, 128), d,
-                   jnp.dtype(q.dtype).itemsize, bias is not None) > _VMEM_BUDGET:
+                   jnp.dtype(q.dtype).itemsize, bias is not None,
+                   v.shape[3]) > _VMEM_BUDGET:
         from .attention import xla_attention
 
         return xla_attention(q, k, v, scale=scale, bias=bias)
