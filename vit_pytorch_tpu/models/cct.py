@@ -21,6 +21,7 @@ import flax.linen as nn
 from ..nn.blocks import LN_EPS
 from ..nn.blocks import gelu as _gelu
 from ..utils.helpers import default, exists, pair
+from ..ops.attention import dot_product_attention
 
 __all__ = ["CCT", "cct_2", "cct_4", "cct_6", "cct_7", "cct_8", "cct_14", "cct_16"]
 
@@ -150,13 +151,16 @@ class CCTAttention(nn.Module):
             return t.reshape(b, n, h, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = map(split, (q, k, v))
-        q = q * scale
-
-        attn = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.attention_dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            scale=scale,
+            dropout_rate=self.attention_dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout")
+            if train and self.attention_dropout > 0
+            else None,
+        )
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         out = nn.Dense(self.dim, name="proj")(out)

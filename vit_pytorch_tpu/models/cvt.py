@@ -14,6 +14,7 @@ import flax.linen as nn
 
 from ..nn.blocks import LN_EPS
 from ..nn.blocks import gelu as _gelu
+from ..ops.attention import dot_product_attention
 
 
 class ChanLayerNorm(nn.Module):
@@ -92,13 +93,14 @@ class CvTAttention(nn.Module):
 
         qh, kh, vh = map(to_heads, (q, k, v))
 
-        dots = jnp.einsum(
-            "bhid,bhjd->bhij", qh, kh, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(dots, axis=-1).astype(vh.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
+        out = dot_product_attention(
+            qh,
+            kh,
+            vh,
+            scale=scale,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if train and self.dropout > 0 else None,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(b, qy, qx, inner)
         out = nn.Conv(self.dim, (1, 1), name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

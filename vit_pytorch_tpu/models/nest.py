@@ -15,6 +15,7 @@ from einops import rearrange
 
 from ..nn.blocks import LN_EPS
 from ..nn.blocks import gelu as _gelu
+from ..ops.attention import dot_product_attention
 from ..utils.helpers import cast_tuple
 
 
@@ -42,13 +43,14 @@ class NestAttention(nn.Module):
             return t.reshape(b, hh * ww, h, dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = map(split, (q, k, v))
-        dots = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            scale=scale,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if train and self.dropout > 0 else None,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(b, hh, ww, inner)
         out = nn.Conv(self.dim, (1, 1), name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -19,6 +19,7 @@ from einops import rearrange
 
 from ..nn.blocks import LN_EPS
 from ..nn.blocks import gelu as _gelu
+from ..ops.attention import dot_product_attention
 from ..utils.helpers import cast_tuple
 
 
@@ -45,16 +46,16 @@ class RegionAttention(nn.Module):
             return t.reshape(b, n, h, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = map(split, (q, k, v))
-        q = q * scale
 
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
-        if rel_pos_bias is not None:
-            sim = sim + rel_pos_bias.astype(sim.dtype)
-
-        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            scale=scale,
+            bias=rel_pos_bias,  # (h, n, n) per-head table or None
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if train and self.dropout > 0 else None,
+        )
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(self.dim, name="to_out")(out)
@@ -108,8 +109,8 @@ class R2LTransformer(nn.Module):
         rel = grid[:, :, None] - grid[:, None, :] + (self.window_size - 1)
         idx = rel[0] * 1 + rel[1] * (self.window_size * 2 - 1)
         bias = table[idx]  # (n, n, h)
-        bias = bias.transpose(2, 0, 1)[None]  # (1, h, n, n)
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
+        bias = bias.transpose(2, 0, 1)  # (h, n, n) — per-head table
+        bias = jnp.pad(bias, ((0, 0), (1, 0), (1, 0)))
 
         for i in range(self.depth):
             attn = RegionAttention(

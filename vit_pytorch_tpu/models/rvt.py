@@ -17,6 +17,7 @@ import flax.linen as nn
 from einops import rearrange, repeat
 
 from ..nn.blocks import FeedForward, LN_EPS
+from ..ops.attention import dot_product_attention
 from ..nn.patch import PatchEmbedding, patchify_2d
 
 
@@ -119,16 +120,19 @@ class RvTAttention(nn.Module):
 
             q, k = apply_rot(q), apply_rot(k)
 
-        dots = jnp.einsum(
-            "bid,bjd->bij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bij,bjd->bid", attn, v)
         b = x.shape[0]
-        n = out.shape[1]
-        out = out.reshape(b, h, n, dh).transpose(0, 2, 1, 3).reshape(b, n, inner)
+        n = q.shape[1]
+        # (b·h, n, d) → (b, h, n, d) for the unified dispatcher (rotary is
+        # already applied above; the dispatcher sees plain scaled attention)
+        out = dot_product_attention(
+            q.reshape(b, h, n, dh),
+            k.reshape(b, h, -1, dh),
+            v.reshape(b, h, -1, dh),
+            scale=scale,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if train and self.dropout > 0 else None,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(self.dim, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
 

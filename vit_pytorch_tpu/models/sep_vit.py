@@ -17,6 +17,7 @@ from einops import rearrange, repeat
 
 from ..nn.blocks import LN_EPS
 from ..nn.blocks import gelu as _gelu
+from ..ops.attention import dot_product_attention
 from ..utils.helpers import cast_tuple
 
 
@@ -79,11 +80,14 @@ class DSSA(nn.Module):
             return t.reshape(bb, n, h, dh).transpose(0, 2, 1, 3)
 
         q, k, v = map(split, (q, k, v))
-        q = q * scale
-        dots = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            scale=scale,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if train and self.dropout > 0 else None,
+        )
 
         wtok, fmaps = out[:, :, 0], out[:, :, 1:]
 

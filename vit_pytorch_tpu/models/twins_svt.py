@@ -11,6 +11,7 @@ from einops import rearrange
 
 from ..nn.blocks import LN_EPS
 from ..nn.blocks import gelu as _gelu
+from ..ops.attention import dot_product_attention
 
 
 class TwinsFeedForward(nn.Module):
@@ -96,12 +97,7 @@ class LocalAttention(nn.Module):
 
         q, k, v = (to_windows(t, dh) for t in (q, k, v))
 
-        dots = jnp.einsum(
-            "whid,whjd->whij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-
-        out = jnp.einsum("whij,whjd->whid", attn, v)
+        out = dot_product_attention(q, k, v, scale=scale)
         out = rearrange(
             out,
             "(b x y) h (p1 p2) d -> b (x p1) (y p2) (h d)",
@@ -149,13 +145,14 @@ class GlobalAttention(nn.Module):
             return t.reshape(bb, hh * ww, h, dh).transpose(0, 2, 1, 3)
 
         q, k, v = map(split, (q, k, v))
-        dots = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            scale=scale,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if train and self.dropout > 0 else None,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(b, H, W, inner)
         out = nn.Conv(self.dim, (1, 1), name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
