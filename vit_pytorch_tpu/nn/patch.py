@@ -9,6 +9,8 @@ patchify+embed the MXU wants.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import flax.linen as nn
 from einops import rearrange
@@ -104,6 +106,18 @@ class PatchEmbedding(nn.Module):
     @nn.compact
     def __call__(self, patches):
         x = patches
+        # bf16 inputs: XLA hoists the pre-LN f32 convert ABOVE the patchify
+        # rearrange, doubling the copy bytes (profiled ~0.5 ms/step on
+        # ViT-B bs=128, docs/PERF_NOTES.md round 4).  The barrier pins the
+        # convert after the copies; LN statistics still run in f32.
+        # Opt-in until A/B'd on hardware.
+        if (
+            x.dtype == jnp.bfloat16
+            and os.environ.get("VIT_TPU_BF16_PATCHIFY", "0") == "1"
+        ):
+            import jax
+
+            x = jax.lax.optimization_barrier(x)
         if self.norm_input:
             x = nn.LayerNorm(
                 epsilon=LN_EPS, use_bias=self.norm_bias, name="norm_pre"
