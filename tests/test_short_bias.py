@@ -101,6 +101,21 @@ def test_dispatcher_routes_per_head_bias(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=2e-5)
 
 
+def test_per_head_bias_flash_fallthrough():
+    """A per-head (h, n, m) bias that passes kernel_ok but misses the short
+    path (here: causal) must reach the flash kernel as an expanded
+    (1, h, n, m) bias instead of raising (advisor round-4 medium)."""
+    b, h, n, d = 1, 2, 128, 32
+    q = jnp.asarray(_RNG.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(_RNG.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(_RNG.normal(size=(b, h, n, d)), jnp.float32)
+    bias = jnp.asarray(_RNG.normal(size=(h, n, n)), jnp.float32)
+
+    got = dot_product_attention(q, k, v, bias=bias, causal=True, use_flash=True)
+    want = dot_product_attention(q, k, v, bias=bias, causal=True, use_flash=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_maxvit_window_attention_same_on_both_routes(monkeypatch):
     from vit_pytorch_tpu.models.max_vit import WindowAttention
 

@@ -113,6 +113,8 @@ class PatchEmbedding(nn.Module):
         # Opt-in until A/B'd on hardware.
         if (
             x.dtype == jnp.bfloat16
+            and self.norm_input  # without the pre-LN there is no hoisted
+            # f32 convert to pin — the barrier would only inhibit fusion
             and os.environ.get("VIT_TPU_BF16_PATCHIFY", "0") == "1"
         ):
             import jax

@@ -183,7 +183,9 @@ def dot_product_attention(
         # where the materialized matrix would be HBM-bound (measured on v5e:
         # n=197 XLA ≈ 1 ms/layer fused vs 2.2 ms pallas; n=2048 segs flash ≫).
         # VIT_TPU_WINDOW_KERNEL=1 opts per-head-bias windowed shapes into the
-        # short kernel (A/B knob, docs/PERF_NOTES.md round 4).
+        # short kernel (A/B knob, docs/PERF_NOTES.md round 4).  NOTE: read at
+        # TRACE time — toggling it after a function is jit-compiled has no
+        # effect until the cache entry is dropped (new shapes / jax.clear_caches).
         window_opt_in = (
             per_head_bias
             and dropout_rate == 0.0
@@ -210,6 +212,12 @@ def dot_product_attention(
 
         from .flash_attention import flash_attention as _flash
 
+        if per_head_bias:
+            # flash expects a 4-D bias; (1, h, n, m) is consumed row-indexed
+            # without HBM broadcast (flash_attention.py bias index map), so
+            # a per-head table that missed the short-path gate (m > 1024,
+            # causal, segments) still routes instead of raising
+            bias = bias[None]
         seed = None
         if dropout_rate > 0.0:
             seed = jax.random.randint(

@@ -36,8 +36,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 # 512×512 measured best on v5e for packed-NaViT shapes (256 costs 1.6×,
 # docs/PERF_NOTES.md); env overrides exist for hardware sweeps only
-DEFAULT_BLOCK_Q = int(os.environ.get("VIT_TPU_FLASH_BLOCK_Q", 512))
-DEFAULT_BLOCK_K = int(os.environ.get("VIT_TPU_FLASH_BLOCK_K", 512))
+
+
+def _env_block(name: str, default: int) -> int:
+    """Validated block-size env override: tile masking assumes positive
+    multiples of 128, and a malformed value would otherwise crash deep
+    inside a kernel trace, far from the setting."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name} must be an integer multiple of 128, got {raw!r}"
+        ) from None
+    if val <= 0 or val % 128 != 0:
+        raise ValueError(f"{name} must be a positive multiple of 128, got {val}")
+    return val
+
+
+DEFAULT_BLOCK_Q = _env_block("VIT_TPU_FLASH_BLOCK_Q", 512)
+DEFAULT_BLOCK_K = _env_block("VIT_TPU_FLASH_BLOCK_K", 512)
 
 _NEG_INF = -1e30
 _LANES = 128

@@ -88,29 +88,33 @@ def _short_forward(q, k, v, bias, scale, group, interpret):
     # shrink the group until the working set fits VMEM (large n·d shapes);
     # if even one slice doesn't fit, this shape has no short path — the
     # dispatcher's caller falls back to XLA (see short_attention()).
+    # Step by 1 (not halving): the divisibility picks below search downward
+    # from this bound, so e.g. h=3, VMEM-fit 8 must yield group 3, which a
+    # power-of-two shrink would skip.
     while group > 1 and _vmem_bytes(
         group, n_pad, m_pad, d, itemsize, has_bias, dv
     ) > _VMEM_BUDGET:
-        group //= 2
+        group -= 1
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
 
     bh = b * h
-    while bh % group != 0:
-        group //= 2
     if has_bias:
         # a group of consecutive (b·h) slices must span consecutive heads of
         # one image so the bias block (group rows of the padded per-head
-        # table) aligns with the q/k/v block rows → group must divide h
-        # (largest divisor ≤ group, e.g. h=3 → 3, not the halving loop's 1)
-        if h % group != 0:
-            group = max(g for g in range(1, min(group, h) + 1) if h % g == 0)
+        # table) aligns with the q/k/v block rows → group must divide h —
+        # any divisor of h also divides bh = b·h.  Largest divisor of h ≤
+        # the VMEM-fit bound (e.g. b=2, h=3, bound 6 → group 3).
+        group = max(g for g in range(1, min(group, h) + 1) if h % g == 0)
         bp = jnp.pad(
             bias.astype(jnp.float32),
             ((0, 0), (0, n_pad - n), (0, m_pad - m)),
         )
+    else:
+        # no alignment constraint beyond dividing the flattened (b·h) axis
+        group = max(g for g in range(1, min(group, bh) + 1) if bh % g == 0)
     qp = qp.reshape(bh, n_pad, d)
     kp = kp.reshape(bh, m_pad, d)
     vp = vp.reshape(bh, m_pad, dv)
