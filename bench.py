@@ -13,10 +13,13 @@ FLOP accounting: ViT-B/16 @224 forward ≈ 35.2 GFLOP/img (2 × 17.6 GMAC —
 roofline ≈ 5.6k img/s at 100% MXU.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the bar
-is a torch.compile A100 estimate for ViT-B/16 bf16 inference — A100 at the
-same ~55% MXU utilization gives ≈ 312e12×0.55/35.2e9 ≈ 4900 img/s; published
-MLPerf-style ViT-B numbers land 2-4k img/s — we use 3000 img/s as the
-baseline denominator.
+is torch.compile ViT-B/16 bf16 inference on an A100.  The denominator is
+pinned from named public artifacts — timm's A100 AMP benchmark CSVs for
+vit_base_patch16_224 (≈2.5-3k img/s eager) × the PyTorch-2.0 blog's measured
+1.38× inductor speedup on A100 ⇒ ≈3.5-4.1k; we pin the TOP of that range
+(4,000 img/s = 45% A100 MFU), the value most favorable to the A100.  Full
+derivation: docs/A100_BASELINE.md.  Reproducible on any A100 box via
+tools/bench_reference_a100.py (this box has no GPU).
 """
 
 import functools
@@ -27,7 +30,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-A100_TORCH_COMPILE_IMGS_PER_SEC = 3000.0
+A100_TORCH_COMPILE_IMGS_PER_SEC = 4000.0  # docs/A100_BASELINE.md
 VIT_B16_224_FWD_GFLOPS = 35.2
 V5E_PEAK_TFLOPS = 197.0
 

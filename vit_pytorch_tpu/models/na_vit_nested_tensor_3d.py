@@ -17,8 +17,9 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..nn.blocks import Attention, Transformer, LN_EPS
+from ..nn.blocks import LN_EPS
 from ..utils.helpers import pair
+from .na_vit_nested_tensor import NestedAttention, NestedTransformer
 
 
 @dataclass
@@ -168,7 +169,12 @@ class NaViT(nn.Module):
         )
 
         self.emb_drop = nn.Dropout(self.emb_dropout)
-        self.transformer = Transformer(
+        # same Transformer as the 2-D nested-tensor variant (reference
+        # na_vit_nested_tensor_3d.py:44-133 is line-identical to
+        # na_vit_nested_tensor.py:43-132): split bias-free q/k/v, qk-norm as
+        # a bias-free LayerNorm over dim_head (NOT na_vit.py's per-head
+        # RMSNorm — it subtracts the mean), default 1/sqrt(d) scale
+        self.transformer = NestedTransformer(
             dim=self.dim,
             depth=self.depth,
             heads=self.heads,
@@ -176,19 +182,16 @@ class NaViT(nn.Module):
             mlp_dim=self.mlp_dim,
             dropout=self.dropout,
             qk_norm=self.qk_rmsnorm,
-            norm_bias=False,
-            attn_out_bias=False,
         )
         self.attn_pool_queries = self.param(
             "attn_pool_queries", nn.initializers.normal(1.0), (self.dim,)
         )
-        self.attn_pool = Attention(
+        # reference :207: attn_pool keeps the default qk_norm=True
+        # regardless of the transformer's qk_rmsnorm flag
+        self.attn_pool = NestedAttention(
             dim=self.dim,
             heads=self.heads,
             dim_head=self.dim_head,
-            qk_norm=self.qk_rmsnorm,
-            norm_bias=False,
-            out_bias=False,
             name="attn_pool",
         )
         self.head_norm = nn.LayerNorm(epsilon=LN_EPS, use_bias=False, name="head_norm")

@@ -821,7 +821,7 @@ def convert_local_vit(state_dict) -> dict:
     return apply_rules(state_dict, rules)
 
 
-def convert_na_vit_nested_tensor(state_dict) -> dict:
+def convert_na_vit_nested_tensor(state_dict, extra_rules: list = ()) -> dict:
     """reference na_vit_nested_tensor.py:134-301 →
     models/na_vit_nested_tensor.py NaViT params (split q/k/v, LayerNorm
     qk-norm, biased patch-embed LNs)."""
@@ -858,7 +858,23 @@ def convert_na_vit_nested_tensor(state_dict) -> dict:
     rules += _linear(r"transformer\.layers\.(\d+)\.1\.1", r"transformer/layers_\1_ff/fc1")
     rules += _linear(r"transformer\.layers\.(\d+)\.1\.4", r"transformer/layers_\1_ff/fc2")
     rules += attn_rules(r"attn_pool", "attn_pool")
+    rules += list(extra_rules)
     return apply_rules(state_dict, rules)
+
+
+def convert_na_vit_nested_tensor_3d(state_dict) -> dict:
+    """reference na_vit_nested_tensor_3d.py:136-322 →
+    models/na_vit_nested_tensor_3d.py NaViT params.  The transformer / pool
+    layout is line-identical to the 2-D nested-tensor variant (reference
+    na_vit_nested_tensor_3d.py:44-133 ≡ na_vit_nested_tensor.py:43-132);
+    adds the factorized frame pos emb and the register tokens."""
+    return convert_na_vit_nested_tensor(
+        state_dict,
+        extra_rules=[
+            ("pos_embed_frame", "pos_embed_frame", identity),
+            ("register_tokens", "register_tokens", identity),
+        ],
+    )
 
 
 def convert_small_dataset_vit(state_dict) -> dict:
@@ -2336,3 +2352,30 @@ def convert_vit_with_patch_merger(state_dict) -> dict:
     rules += _ln(r"transformer\.norm", "norm")
     rules += _linear(r"mlp_head\.1", "mlp_head")
     return apply_rules(state_dict, rules)
+
+
+def convert_accept_video_wrapper(state_dict, image_net_converter=None) -> dict:
+    """reference accept_video_wrapper.py:27-230 →
+    wrappers/accept_video_wrapper.py.  The wrapped image net's weights are
+    converted by ``image_net_converter`` (default: ``convert_vit``) and
+    nested under ``image_net``; the wrapper's own params are the optional
+    embed projection (reference :53) and the learned time pos emb (:64)."""
+    if image_net_converter is None:
+        image_net_converter = convert_vit
+    inner = {
+        k[len("image_net."):]: v
+        for k, v in state_dict.items()
+        if k.startswith("image_net.")
+    }
+    own = {k: v for k, v in state_dict.items() if not k.startswith("image_net.")}
+    converted = image_net_converter(inner)
+    out = {"image_net": converted["params"]}
+    if own:
+        rules: list[Rule] = [("pos_emb", "pos_emb", identity)]
+        rules += _linear("embed_proj", "embed_proj")
+        out.update(apply_rules(own, rules)["params"])
+    result = {"params": out}
+    for coll, tree in converted.items():
+        if coll != "params":
+            result[coll] = {"image_net": tree}
+    return result
