@@ -64,20 +64,40 @@ def _measure(fn, *args, repeats=3):
     return best
 
 
-def _mfu(jitted, args, seconds, iters):
-    """MXU utilization from the compiled executable's own FLOP count.
-
-    XLA's cost analysis counts *executed* HLO flops (so remat recompute is
-    charged, padding is not) — an honest hardware-utilization denominator.
-    Returns a ', N GFLOP/step, M% MXU' suffix, or '' when the backend
-    can't report cost analysis (interpret/CPU smoke runs)."""
+def _model_flops(step_fn, *args):
+    """True FLOPs of ONE step, from XLA cost analysis of an XLA-only
+    lowering.  Two traps this avoids (both hit in round 4's first sweep):
+    (a) Pallas custom calls are OPAQUE to cost analysis — a kernel-tier
+    model reports ~0 flops — so the probe lowers with the whole kernel
+    tier disabled (the math, hence the FLOP count, is backend-
+    independent); (b) fori_loop bodies are counted once, not trip-count
+    times, so the probe is a single un-looped step.  Compile-only: the
+    probe never executes, so its XLA-path memory footprint doesn't matter.
+    """
+    saved = {}
+    for knob in ("VIT_TPU_DISABLE_FUSED", "VIT_TPU_DISABLE_FLASH"):
+        saved[knob] = os.environ.get(knob)
+        os.environ[knob] = "1"
     try:
-        flops = jitted.lower(*args).compile().cost_analysis()["flops"]
+        return jax.jit(step_fn).lower(*args).compile().cost_analysis()["flops"]
     except Exception:
+        return None
+    finally:
+        for knob, old in saved.items():
+            if old is None:
+                os.environ.pop(knob, None)
+            else:
+                os.environ[knob] = old
+
+
+def _mfu(step_fn, args, seconds):
+    """', N GFLOP/step, M% MXU' suffix (or '' when cost analysis is
+    unavailable, e.g. CPU smoke runs)."""
+    flops = _model_flops(step_fn, *args)
+    if not flops:
         return ""
-    per_step = flops / iters
-    pct = per_step / seconds / (_PEAK_TFLOPS * 1e12) * 100.0
-    return f", {per_step / 1e9:.1f} GFLOP/step, {pct:.1f}% MXU"
+    pct = flops / seconds / (_PEAK_TFLOPS * 1e12) * 100.0
+    return f", {flops / 1e9:.1f} GFLOP/step, {pct:.1f}% MXU"
 
 
 def _chained_forward(model, params, x, iters, **apply_kw):
@@ -92,7 +112,8 @@ def _chained_forward(model, params, x, iters, **apply_kw):
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     s = _measure(loop, params, x) / iters
-    return s, _mfu(loop, (params, x), s, iters)
+    step = lambda params, x: model.apply(params, x, **apply_kw)
+    return s, _mfu(step, (params, x), s)
 
 
 def bench_vit_readme():
@@ -160,7 +181,8 @@ def bench_navit_packed():
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     s = _measure(loop, params, packed) / iters
-    mfu = _mfu(loop, (params, packed), s, iters)
+    step = lambda params, packed: model.apply(params, packed, train=False)
+    mfu = _mfu(step, (params, packed), s)
     print(f"navit_packed  {n_img} var-res imgs/step: {n_img / s:.0f} img/s, "
           f"{s * 1e3:.2f} ms/step{mfu}")
 
@@ -237,7 +259,17 @@ def bench_mae_pretrain():
         )
 
     s = _measure(loop, params, opt_state, img, jax.random.PRNGKey(2)) / iters
-    mfu = _mfu(loop, (params, opt_state, img, jax.random.PRNGKey(2)), s, iters)
+
+    def step(params, opt_state, img, rng):
+        def loss_fn(p):
+            return model.apply(p, img, train=True,
+                               rngs={"mask": rng, "dropout": rng})
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    mfu = _mfu(step, (params, opt_state, img, jax.random.PRNGKey(2)), s)
     print(f"mae_pretrain  bs={batch}: {batch / s:.0f} img/s/trainstep, "
           f"{s * 1e3:.2f} ms/step{mfu}")
 

@@ -41,13 +41,21 @@ REEXPORTS = {
 
 
 def find_tests(stem: str, homes):
-    """Tests that import one of the row's mapped modules by dotted path
-    (or, for top-level re-exports, by class name).  Keyed on the actual
-    ``homes`` so an unmapped row can never show test evidence."""
+    """Tests that import one of the row's mapped modules by dotted path,
+    construct the import from the quoted module stem (test_parity5's
+    ``_simple_family`` helper builds ``importlib``-style paths from
+    strings), or — for top-level re-exports — import the class name.
+    Keyed on the actual ``homes`` so an unmapped row can never show test
+    evidence."""
     pats = []
     for home in homes:
         dotted = home[: -len(".py")].replace("/", r"\.")
         pats.append(re.compile(rf"{dotted}\b"))
+        mod_stem = os.path.basename(home)[: -len(".py")]
+        # exact quoted stem, e.g. "simple_vit_with_qk_norm" passed to a
+        # string-constructing helper; word-exact inside the quotes so
+        # "vit" can't match "simple_vit..."
+        pats.append(re.compile(rf"""["']{re.escape(mod_stem)}["']"""))
     if stem in REEXPORTS:
         pats.append(
             re.compile(

@@ -20,6 +20,7 @@ from einops import rearrange
 
 from ..nn.blocks import LN_EPS
 from ..nn.blocks import gelu as _gelu
+from ..ops.attention import dot_product_attention
 from ..utils.helpers import cast_tuple, default
 
 
@@ -75,13 +76,14 @@ class ScalableSelfAttention(nn.Module):
         k = split(k, self.dim_key)
         v = split(v, self.dim_value)
 
-        dots = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        dropout_rng = None
+        if self.dropout > 0.0 and train:
+            dropout_rng = self.make_rng("dropout")
+        out = dot_product_attention(
+            q, k, v, scale=scale,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=dropout_rng,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(b, H, W, self.dim_value * h)
         out = nn.Conv(self.dim, (1, 1), name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
@@ -125,12 +127,14 @@ class InteractiveWindowedSelfAttention(nn.Module):
 
         qw, kw, vw = to_win(q, self.dim_key), to_win(k, self.dim_key), to_win(v, self.dim_value)
 
-        dots = jnp.einsum(
-            "whid,whjd->whij", qw, kw, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(dots, axis=-1).astype(vw.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("whij,whjd->whid", attn, vw)
+        dropout_rng = None
+        if self.dropout > 0.0 and train:
+            dropout_rng = self.make_rng("dropout")
+        out = dot_product_attention(
+            qw, kw, vw, scale=scale,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=dropout_rng,
+        )
 
         out = rearrange(
             out,

@@ -16,6 +16,7 @@ import flax.linen as nn
 
 from ..nn.blocks import FeedForward, LN_EPS
 from ..nn.patch import patchify_2d
+from ..ops.attention import dot_product_attention
 from ..utils.helpers import pair
 
 
@@ -85,18 +86,22 @@ class LSA(nn.Module):
 
         q, k, v = map(split_heads, (q, k, v))
 
-        dots = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * jnp.exp(temperature)
-
-        n = dots.shape[-1]
-        eye = jnp.eye(n, dtype=bool)
-        dots = jnp.where(eye, jnp.finfo(dots.dtype).min, dots)
-
-        attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        # unified dispatcher with the learned temperature as a TRACED scale
+        # (stays on the XLA path by design) and the diagonal self-mask
+        # (reference vit_for_small_dataset.py:53-57) as a boolean mask
+        n = q.shape[2]
+        dropout_rng = None
+        if self.dropout > 0.0 and train:
+            dropout_rng = self.make_rng("dropout")
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            scale=jnp.exp(temperature),
+            mask=~jnp.eye(n, dtype=bool),
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=dropout_rng,
+        )
         b = out.shape[0]
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
         out = nn.Dense(self.dim, name="to_out")(out)

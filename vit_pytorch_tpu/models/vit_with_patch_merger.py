@@ -11,6 +11,7 @@ import flax.linen as nn
 
 from ..nn.blocks import Attention, FeedForward, LN_EPS
 from ..nn.patch import PatchEmbedding, patchify_2d
+from ..ops.attention import dot_product_attention
 from ..utils.helpers import default, pair
 
 
@@ -28,12 +29,17 @@ class PatchMerger(nn.Module):
         )
         scale = self.dim**-0.5
         normed = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
-        sim = jnp.einsum(
-            "md,bnd->bmn", queries.astype(x.dtype), normed,
-            preferred_element_type=jnp.float32,
-        ) * scale
-        attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-        return jnp.einsum("bmn,bnd->bmd", attn, normed)
+        # single-head attention through the unified dispatcher: the learned
+        # queries attend the normed tokens, values = the normed tokens
+        b = x.shape[0]
+        q = jnp.broadcast_to(
+            queries.astype(x.dtype)[None, None],
+            (b, 1, self.num_tokens_out, self.dim),
+        )
+        out = dot_product_attention(
+            q, normed[:, None], normed[:, None], scale=scale
+        )
+        return out[:, 0]
 
 
 class ViT(nn.Module):

@@ -170,12 +170,25 @@ def dot_product_attention(
         and bias is None
         and on_tpu()
     )
+    # a traced-array scale (LSA's learned temperature,
+    # vit_for_small_dataset.py:35-57) can't be baked into a kernel's static
+    # config — it stays on the XLA path, where it folds into the same fusion
+    # as a constant would
+    static_scale = scale is None or isinstance(scale, (int, float))
     kernel_ok = (
         not return_attn
         and (dropout_rate == 0.0 or kernel_dropout_ok)
         and mask is None
+        and static_scale
         and q.shape[-1] <= 256
     )
+
+    # global kill switch (read at TRACE time, like the other VIT_TPU_ knobs):
+    # forces the XLA composite even where the caller requested flash — used
+    # by FLOP-probe lowerings (Pallas custom calls are opaque to XLA cost
+    # analysis) and as an escape hatch on kernel regressions
+    if os.environ.get("VIT_TPU_DISABLE_FLASH"):
+        use_flash = False
 
     if use_flash is None:
         # XLA's fused attention wins below ~1k tokens (the (n, m) matrix stays
