@@ -467,10 +467,25 @@ class Attention(nn.Module):
         q, k, v = map(split_heads, (q, k, v))
 
         scale = self.scale
+        gamma_q = gamma_k = None
         if self.qk_norm:
-            q = RMSNorm(heads=h, dim=dh, gamma_init=self.qk_norm_gamma_init, name="q_norm")(q)
-            k = RMSNorm(heads=h, dim=dh, gamma_init=self.qk_norm_gamma_init, name="k_norm")(k)
+            # hand the gammas to the dispatcher (the flash kernels run the
+            # RMSNorm in-tile; other paths apply the same rms_norm in XLA)
+            # — except under rotary, which must see NORMALIZED q/k before
+            # the dispatcher (reference rvt.py applies rotary post-norm)
+            gamma_q = _RMSParams(
+                h, dh, self.qk_norm_gamma_init, name="q_norm"
+            )()
+            gamma_k = _RMSParams(
+                h, dh, self.qk_norm_gamma_init, name="k_norm"
+            )()
             scale = default(scale, 1.0)
+            if exists(rotary):
+                from ..ops.flash_attention import rms_norm
+
+                q = rms_norm(q, gamma_q)
+                k = rms_norm(k, gamma_k)
+                gamma_q = gamma_k = None
 
         if exists(rotary):
             q, k = rotary(q), rotary(k)
@@ -486,6 +501,8 @@ class Attention(nn.Module):
                 v,
                 scale=scale,
                 bias=bias,
+                gamma_q=gamma_q,
+                gamma_k=gamma_k,
                 mask=mask,
                 q_segment_ids=q_segment_ids,
                 kv_segment_ids=kv_segment_ids,
@@ -507,6 +524,8 @@ class Attention(nn.Module):
                 v,
                 scale=scale,
                 bias=bias,
+                gamma_q=gamma_q,
+                gamma_k=gamma_k,
                 mask=mask,
                 q_segment_ids=q_segment_ids,
                 kv_segment_ids=kv_segment_ids,

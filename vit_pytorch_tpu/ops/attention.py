@@ -135,6 +135,8 @@ def dot_product_attention(
     *,
     scale: Optional[float] = None,
     bias: Optional[jnp.ndarray] = None,
+    gamma_q: Optional[jnp.ndarray] = None,
+    gamma_k: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
@@ -150,8 +152,33 @@ def dot_product_attention(
     attend token j iff seg[i] == seg[j] and both nonnegative (negative = pad).
     On the flash path they are consumed tile-wise without materializing the
     (b, 1, n, m) boolean mask.
+
+    ``gamma_q``/``gamma_k``: per-head qk-RMSNorm gammas (na_vit.py:93-103;
+    callers pass them INSTEAD of pre-normalizing q/k).  On the flash path the
+    norm runs inside the kernels; every other path applies it here — the two
+    share one ``rms_norm`` definition so they cannot drift.
     """
     n, m = q.shape[-2], k.shape[-2]
+
+    if (gamma_q is None) != (gamma_k is None):
+        raise ValueError("qk-norm gammas must be given for both q and k")
+
+    def _norm_eagerly(q, k):
+        from .flash_attention import rms_norm
+
+        return rms_norm(q, gamma_q), rms_norm(k, gamma_k)
+
+    # In-kernel qk-norm is OPT-IN (VIT_TPU_FUSE_QKNORM=1, trace-time like the
+    # other VIT_TPU_ knobs): the A/B on packed NaViT-B training (16×2048
+    # tokens, v5e, 2026-08-19) measured the standalone XLA pass FASTER —
+    # 345 ms/step eager vs 372 ms fused — because the kernels renormalize
+    # per (q,kv) tile in all three grids (fwd, dq, dkv) while XLA pays for
+    # the norm once and fuses it into the qkv projection's epilogue.  Kept
+    # as a knob for long-sequence shapes where attention dominates and the
+    # one-pass HBM saving could flip the sign.  docs/PERF_NOTES.md round 5.
+    if gamma_q is not None and not os.environ.get("VIT_TPU_FUSE_QKNORM"):
+        q, k = _norm_eagerly(q, k)
+        gamma_q = gamma_k = None
 
     # per-head additive bias of shape (h, n, m) — a rel-pos table shared by
     # the whole batch (windowed attention).  The short kernel consumes it
@@ -221,6 +248,8 @@ def dot_product_attention(
             # short-sequence fast path: whole kv row in VMEM, one-shot softmax
             from .short_attention import short_attention as _short
 
+            if gamma_q is not None:
+                q, k = _norm_eagerly(q, k)
             return _short(q, k, v, scale=scale, bias=bias)
 
         from .flash_attention import flash_attention as _flash
@@ -236,18 +265,29 @@ def dot_product_attention(
             seed = jax.random.randint(
                 dropout_rng, (), 0, 2**31 - 1, dtype=jnp.int32
             )
+        if gamma_q is not None and bias is not None:
+            # the bias backward is an XLA remat fed raw q/k — no fusion
+            q, k = _norm_eagerly(q, k)
+            gq = gk = None
+        else:
+            gq, gk = gamma_q, gamma_k
         return _flash(
             q,
             k,
             v,
             scale=scale,
             bias=bias,
+            gamma_q=gq,
+            gamma_k=gk,
             q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids,
             causal=causal,
             dropout_rate=dropout_rate,
             dropout_seed=seed,
         )
+
+    if gamma_q is not None:
+        q, k = _norm_eagerly(q, k)
 
     # fold segments / causal into the dense mask for the XLA path
     if q_segment_ids is not None or kv_segment_ids is not None:

@@ -88,6 +88,46 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
+def _dot_precision(dtype):
+    """Precision for the MXU dots inside these kernels — same rule (and
+    rationale) as fused_block._kernel_dot_precision: bf16 operands must
+    contract at DEFAULT precision or Mosaic rejects the kernel with "Bad
+    lhs type" when the ambient jax_default_matmul_precision is "highest"
+    (the CPU parity harness sets that globally); f32 operands keep the
+    ambient setting so interpreter-mode equivalence tests stay exact."""
+    from .fused_block import _kernel_dot_precision
+
+    return _kernel_dot_precision(dtype)
+
+
+# ---------------------------------------------------------------------------
+# qk RMSNorm (reference na_vit.py:93-103) — fused into the kernels
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x, gamma):
+    """The reference's per-head qk RMSNorm: l2-normalize the head dim, scale
+    by learned gamma × sqrt(d).  ``x``: (..., d); ``gamma`` broadcasts (the
+    param tree stores (heads, 1, d)).  ONE definition shared by the XLA
+    dispatch path, the flash kernels' host-side VJP epilogue, and (same
+    math, tile-local) the in-kernel normalization below."""
+    d = x.shape[-1]
+    normed = x * jax.lax.rsqrt(
+        jnp.sum(jnp.square(x), axis=-1, keepdims=True) + 1e-12
+    )
+    return normed * gamma * (d**0.5)
+
+
+def _rms_tile(x, gamma_row):
+    """In-kernel tile RMSNorm: x (rows, d) any dtype, gamma_row (1, d) f32.
+    Statistics in f32, result cast back to x.dtype so the MXU matmul stays
+    bf16 when the inputs are (matching the XLA path's rounding)."""
+    x32 = x.astype(jnp.float32)
+    r = jax.lax.rsqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True) + 1e-12)
+    d_root = float(x.shape[-1]) ** 0.5
+    return (x32 * r * (gamma_row * d_root)).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # shared tile masking
 # ---------------------------------------------------------------------------
@@ -146,7 +186,7 @@ def _run_guard(body, conds):
 
 
 def _fwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref,
+    seed_ref, q_ref, k_ref, v_ref, gq_ref, gk_ref, bias_ref, qseg_ref, kseg_ref,
     o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, scale, causal, block_q, block_k, kv_len, has_bias, has_segs, save_lse,
@@ -172,9 +212,17 @@ def _fwd_kernel(
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
+        if gq_ref is not None:
+            # qk RMSNorm fused into the kernel (reference na_vit.py:93-103):
+            # VPU work recomputed per tile — q/k never round-trip HBM
+            # normalized (the round-4 XLA path spent an extra read+write of
+            # each on the standalone norm)
+            q = _rms_tile(q, gq_ref[0])
+            k = _rms_tile(k, gk_ref[0])
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype)
         ) * scale
         if has_bias:
             s = s + bias_ref[0].astype(jnp.float32)
@@ -210,6 +258,7 @@ def _fwd_kernel(
         acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype),
         )
         m_scratch[:] = m_new
         l_scratch[:] = l_new
@@ -233,7 +282,8 @@ def _fwd_kernel(
 
 
 def _bwd_dq_kernel(
-    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    seed_ref, q_ref, k_ref, v_ref, gq_ref, gk_ref, do_ref, lse_ref, delta_ref,
+    qseg_ref, kseg_ref,
     dq_ref,
     dq_scratch,
     *, scale, causal, block_q, block_k, kv_len, has_segs,
@@ -257,12 +307,19 @@ def _bwd_dq_kernel(
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
+        if gq_ref is not None:
+            # recompute the fused qk-norm; the emitted gradient is w.r.t.
+            # the NORMALIZED q — the host-side epilogue (_bwd) closes the
+            # RMSNorm VJP (raw dq + dgamma) in one cheap XLA pass
+            q = _rms_tile(q, gq_ref[0])
+            k = _rms_tile(k, gk_ref[0])
         do = do_ref[0]
         lse = lse_ref[0][:, :1]      # (block_q, 1)
         delta = delta_ref[0][:, :1]  # (block_q, 1)
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype)
         ) * scale
         mask = _tile_mask(
             qi, kj, block_q, block_k, kv_len, causal, has_segs, qseg_ref, kseg_ref
@@ -275,7 +332,8 @@ def _bwd_dq_kernel(
             p = jnp.where(mask, p, 0.0)
 
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype)
         )
         if dropout_rate > 0.0:
             # d softmax rides the dropout mask; the flash trick
@@ -291,6 +349,7 @@ def _bwd_dq_kernel(
         dq_scratch[:] = dq_scratch[:] + scale * jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype),
         )
 
     _run_guard(_body, conds)
@@ -301,7 +360,8 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    seed_ref, q_ref, k_ref, v_ref, gq_ref, gk_ref, do_ref, lse_ref, delta_ref,
+    qseg_ref, kseg_ref,
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, scale, causal, block_q, block_k, kv_len, has_segs,
@@ -327,12 +387,16 @@ def _bwd_dkv_kernel(
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
+        if gq_ref is not None:
+            q = _rms_tile(q, gq_ref[0])
+            k = _rms_tile(k, gk_ref[0])
         do = do_ref[0]
         lse = lse_ref[0][:, :1]
         delta = delta_ref[0][:, :1]
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype)
         ) * scale
         mask = _tile_mask(
             qi, kj, block_q, block_k, kv_len, causal, has_segs, qseg_ref, kseg_ref
@@ -359,10 +423,12 @@ def _bwd_dkv_kernel(
         dv_scratch[:] = dv_scratch[:] + jax.lax.dot_general(
             pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype),
         )
 
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype)
         )
         if keep is not None:
             dp = jnp.where(keep, dp, 0.0) * inv
@@ -372,6 +438,7 @@ def _bwd_dkv_kernel(
         dk_scratch[:] = dk_scratch[:] + scale * jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype),
         )
 
     _run_guard(_body, conds)
@@ -427,10 +494,23 @@ def _seg_specs(h, block_q, block_k, q_axis, k_axis):
     )
 
 
+def _gamma_specs_inputs(gamma_q, gamma_k, h, d):
+    """(h, 1, d) f32 gamma rows + block specs picking the grid step's head
+    (grid axis 0 is batch·heads ⇒ head = g % h) — one (1, 1, d) row in VMEM
+    per step, never broadcast over batch in HBM.  The middle singleton keeps
+    the trailing two block dims equal to the array's (Mosaic's block-shape
+    rule for non-(8,128)-multiples)."""
+    rows = []
+    for gamma in (gamma_q, gamma_k):
+        rows.append(jnp.asarray(gamma, jnp.float32).reshape(h, 1, d))
+    spec = pl.BlockSpec((1, 1, d), lambda g, i, j: (g % h, 0, 0))
+    return [spec, spec], rows
+
+
 def _flash_forward(
     q, k, v, bias, q_segment_ids, kv_segment_ids,
     scale, causal, block_q, block_k, interpret, save_lse=False,
-    dropout_rate=0.0, dropout_seed=None,
+    dropout_rate=0.0, dropout_seed=None, gamma_q=None, gamma_k=None,
 ):
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -441,6 +521,7 @@ def _flash_forward(
     grid = (bh, n_pad // block_q, m_pad // block_k)
     has_bias = bias is not None
     has_segs = segs is not None
+    has_qknorm = gamma_q is not None
     with_dropout = dropout_rate > 0.0
 
     in_specs = []
@@ -456,6 +537,10 @@ def _flash_forward(
         pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
     ]
     inputs += [qp, kp, vp]
+    if has_qknorm:
+        g_specs, g_rows = _gamma_specs_inputs(gamma_q, gamma_k, h, d)
+        in_specs += g_specs
+        inputs += g_rows
 
     if has_bias:
         # do NOT broadcast over (b, h) in HBM — a (1, h, n, m) rel-pos bias
@@ -503,6 +588,8 @@ def _flash_forward(
         it = iter(refs[: len(in_specs)])
         seed_r = next(it) if with_dropout else None
         q_r, k_r, v_r = next(it), next(it), next(it)
+        gq_r = next(it) if has_qknorm else None
+        gk_r = next(it) if has_qknorm else None
         b_r = next(it) if has_bias else None
         qs_r = next(it) if has_segs else None
         ks_r = next(it) if has_segs else None
@@ -513,7 +600,10 @@ def _flash_forward(
         else:
             o_r, lse_r = outs[0], None
             scratch = outs[1:]
-        kernel(seed_r, q_r, k_r, v_r, b_r, qs_r, ks_r, o_r, lse_r, *scratch)
+        kernel(
+            seed_r, q_r, k_r, v_r, gq_r, gk_r, b_r, qs_r, ks_r,
+            o_r, lse_r, *scratch,
+        )
 
     out_shapes = [jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0))]
@@ -552,8 +642,11 @@ def _flash_forward(
 def _flash_backward(
     q, k, v, q_segment_ids, kv_segment_ids, out, lse_padded, g,
     scale, causal, block_q, block_k, interpret,
-    dropout_rate=0.0, dropout_seed=None,
+    dropout_rate=0.0, dropout_seed=None, gamma_q=None, gamma_k=None,
 ):
+    """With ``gamma_q``/``gamma_k`` the kernels recompute the fused qk-norm
+    and the returned dq/dk are w.r.t. the NORMALIZED q/k (the caller closes
+    the RMSNorm VJP — see ``_bwd``)."""
     b, h, n, d = q.shape
     m = k.shape[2]
     qp, kp, vp, segs, block_q, block_k, n_pad, m_pad = _prep(
@@ -561,7 +654,12 @@ def _flash_backward(
     )
     bh = b * h
     has_segs = segs is not None
+    has_qknorm = gamma_q is not None
     with_dropout = dropout_rate > 0.0
+    if has_qknorm:
+        gamma_specs, gamma_rows = _gamma_specs_inputs(gamma_q, gamma_k, h, d)
+    else:
+        gamma_specs, gamma_rows = [], []
 
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, n_pad - n), (0, 0))).reshape(bh, n_pad, d)
 
@@ -572,7 +670,8 @@ def _flash_backward(
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, n_pad - n))).reshape(bh, n_pad)
     delta = jnp.broadcast_to(delta[:, :, None], (bh, n_pad, _LANES))
 
-    common_inputs = [qp, kp, vp, gp, lse_padded, delta]
+    # gammas ride between v and dO — same order as the kernel signatures
+    common_inputs = [qp, kp, vp] + gamma_rows + [gp, lse_padded, delta]
     seed_arr = (
         jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1) if with_dropout else None
     )
@@ -588,6 +687,7 @@ def _flash_backward(
             pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, (i, j)[q_axis], 0)),
             pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, (i, j)[k_axis], 0)),
             pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, (i, j)[k_axis], 0)),
+        ] + gamma_specs + [
             pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, (i, j)[q_axis], 0)),
             pl.BlockSpec((1, block_q, _LANES), lambda g_, i, j: (g_, (i, j)[q_axis], 0)),
             pl.BlockSpec((1, block_q, _LANES), lambda g_, i, j: (g_, (i, j)[q_axis], 0)),
@@ -607,10 +707,16 @@ def _flash_backward(
         kv_len=m, has_segs=has_segs, **drop_kw,
     )
 
+    def _unpack_common(it):
+        q_r, k_r, v_r = next(it), next(it), next(it)
+        gq_r = next(it) if has_qknorm else None
+        gk_r = next(it) if has_qknorm else None
+        return [q_r, k_r, v_r, gq_r, gk_r, next(it), next(it), next(it)]
+
     def dq_dispatch(*refs):
         it = iter(refs[: len(in_specs)])
         seed_r = next(it) if with_dropout else None
-        args = [next(it) for _ in range(6)]
+        args = _unpack_common(it)
         qs_r = next(it) if has_segs else None
         ks_r = next(it) if has_segs else None
         dq_r, scratch = refs[len(in_specs)], refs[len(in_specs) + 1]
@@ -646,7 +752,7 @@ def _flash_backward(
     def dkv_dispatch(*refs):
         it = iter(refs[: len(in_specs)])
         seed_r = next(it) if with_dropout else None
-        args = [next(it) for _ in range(6)]
+        args = _unpack_common(it)
         qs_r = next(it) if has_segs else None
         ks_r = next(it) if has_segs else None
         dk_r, dv_r = refs[len(in_specs)], refs[len(in_specs) + 1]
@@ -695,47 +801,72 @@ def _reference_attention(q, k, v, bias, q_segment_ids, kv_segment_ids, scale, ca
     return xla_attention(q, k, v, scale=scale, bias=bias, mask=mask)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def _flash_attention_core(
-    q, k, v, bias, q_segment_ids, kv_segment_ids, seed, scale, causal, block_q, block_k, interpret, dropout_rate
+    q, k, v, bias, gamma_q, gamma_k, q_segment_ids, kv_segment_ids, seed,
+    scale, causal, block_q, block_k, interpret, dropout_rate
 ):
     return _flash_forward(
         q, k, v, bias, q_segment_ids, kv_segment_ids, scale, causal, block_q, block_k, interpret,
         dropout_rate=dropout_rate, dropout_seed=seed,
+        gamma_q=gamma_q, gamma_k=gamma_k,
     )
 
 
-def _fwd(q, k, v, bias, q_segment_ids, kv_segment_ids, seed, scale, causal, block_q, block_k, interpret, dropout_rate):
+def _fwd(q, k, v, bias, gamma_q, gamma_k, q_segment_ids, kv_segment_ids, seed, scale, causal, block_q, block_k, interpret, dropout_rate):
     if bias is None:
         out, lse = _flash_forward(
             q, k, v, None, q_segment_ids, kv_segment_ids,
             scale, causal, block_q, block_k, interpret, save_lse=True,
             dropout_rate=dropout_rate, dropout_seed=seed,
+            gamma_q=gamma_q, gamma_k=gamma_k,
         )
-        return out, (q, k, v, bias, q_segment_ids, kv_segment_ids, seed, out, lse)
+        return out, (q, k, v, bias, gamma_q, gamma_k, q_segment_ids, kv_segment_ids, seed, out, lse)
     out = _flash_forward(
         q, k, v, bias, q_segment_ids, kv_segment_ids,
         scale, causal, block_q, block_k, interpret,
         dropout_rate=dropout_rate, dropout_seed=seed,
+        gamma_q=gamma_q, gamma_k=gamma_k,
     )
-    return out, (q, k, v, bias, q_segment_ids, kv_segment_ids, seed, None, None)
+    return out, (q, k, v, bias, gamma_q, gamma_k, q_segment_ids, kv_segment_ids, seed, None, None)
 
 
 def _bwd(scale, causal, block_q, block_k, interpret, dropout_rate, residuals, g):
-    q, k, v, bias, qs, ks, seed, out, lse = residuals
+    q, k, v, bias, gamma_q, gamma_k, qs, ks, seed, out, lse = residuals
     seed_ct = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
 
     if bias is None:
         dq, dk, dv = _flash_backward(
             q, k, v, qs, ks, out, lse, g, scale, causal, block_q, block_k, interpret,
             dropout_rate=dropout_rate, dropout_seed=seed,
+            gamma_q=gamma_q, gamma_k=gamma_k,
         )
-        return dq, dk, dv, None, None, None, seed_ct
+        dgq = dgk = None
+        if gamma_q is not None:
+            # the kernels emitted dq/dk w.r.t. the NORMALIZED q/k; close the
+            # RMSNorm VJP here — one fused elementwise pass over q and k
+            # plus the tiny (h, 1, d) dgamma reductions
+            # f32 primals so the VJP's statistics match the kernels' f32
+            # in-tile recompute (_rms_tile)
+            _, q_vjp = jax.vjp(
+                rms_norm, q.astype(jnp.float32), gamma_q.astype(jnp.float32)
+            )
+            dq, dgq = q_vjp(dq.astype(jnp.float32))
+            _, k_vjp = jax.vjp(
+                rms_norm, k.astype(jnp.float32), gamma_k.astype(jnp.float32)
+            )
+            dk, dgk = k_vjp(dk.astype(jnp.float32))
+            dq = dq.astype(q.dtype)
+            dk = dk.astype(k.dtype)
+            dgq = dgq.astype(gamma_q.dtype)
+            dgk = dgk.astype(gamma_k.dtype)
+        return dq, dk, dv, None, dgq, dgk, None, None, seed_ct
 
     # bias present: rematerialized XLA backward (small-window models; the
     # dispatcher never routes bias+dropout here — the XLA composite cannot
     # replay the kernel PRNG masks)
     assert dropout_rate == 0.0, "flash dropout is unsupported with bias"
+    assert gamma_q is None, "fused qk-norm is unsupported with bias"
 
     def f(q, k, v, bias):
         return _reference_attention(q, k, v, bias, qs, ks, scale, causal)
@@ -743,7 +874,7 @@ def _bwd(scale, causal, block_q, block_k, interpret, dropout_rate, residuals, g)
     # jax.vjp returns the cotangent in the primal's shape — broadcast dims
     # of a (1, h, n, m) bias are already summed by the vjp itself
     dq, dk, dv, dbias = jax.vjp(f, q, k, v, bias)[1](g)
-    return dq, dk, dv, dbias, None, None, seed_ct
+    return dq, dk, dv, dbias, None, None, None, None, seed_ct
 
 
 _flash_attention_core.defvjp(_fwd, _bwd)
@@ -788,6 +919,8 @@ def flash_attention(
     *,
     scale: Optional[float] = None,
     bias: Optional[jnp.ndarray] = None,
+    gamma_q: Optional[jnp.ndarray] = None,
+    gamma_k: Optional[jnp.ndarray] = None,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     causal: bool = False,
@@ -798,6 +931,14 @@ def flash_attention(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Flash attention.  q: (b, h, n, d), k/v: (b, h, m, d) → (b, h, n, d).
+
+    ``gamma_q``/``gamma_k``: optional per-head qk-RMSNorm gammas (any shape
+    reshaping to (h, d); the param tree stores (h, 1, d)).  When given, the
+    reference's qk RMSNorm (na_vit.py:93-103) runs INSIDE all three kernels
+    (f32 statistics, recomputed per tile) instead of as a separate XLA pass
+    that round-trips normalized q/k through HBM.  Callers pass scale=1.0
+    with qk-norm (na_vit.py:161-166).  Incompatible with ``bias`` (that
+    backward is an XLA rematerialization fed raw q/k).
 
     ``dropout_rate`` > 0 applies train-time dropout to the (normalized)
     attention matrix INSIDE the kernels via the TPU PRNG seeded per
@@ -811,6 +952,10 @@ def flash_attention(
         from .attention import on_tpu
 
         interpret = not on_tpu()
+    if (gamma_q is None) != (gamma_k is None):
+        raise ValueError("qk-norm gammas must be given for both q and k")
+    if gamma_q is not None and bias is not None:
+        raise ValueError("fused qk-norm is unsupported with bias")
     if dropout_rate > 0.0:
         if dropout_seed is None:
             raise ValueError("dropout_rate > 0 requires dropout_seed")
@@ -831,6 +976,6 @@ def flash_attention(
         else jnp.zeros((1, 1), jnp.int32)
     )
     return _flash_attention_core(
-        q, k, v, bias, q_segment_ids, kv_segment_ids, seed,
+        q, k, v, bias, gamma_q, gamma_k, q_segment_ids, kv_segment_ids, seed,
         float(scale), causal, block_q, block_k, interpret, float(dropout_rate),
     )
