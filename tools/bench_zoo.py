@@ -18,6 +18,7 @@ Methodology matches bench.py: bf16 params+inputs, chained steps inside one
 jit (the axon tunnel charges ~30 ms per dispatch), best of 3.
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -175,14 +176,39 @@ def bench_navit_packed():
     @jax.jit
     def loop(params, packed):
         def body(i, acc):
-            out = model.apply(params, packed, train=False)
-            return acc + jnp.sum(out.astype(jnp.float32)) * (1.0 + i * 0)
+            # perturb the patches per iteration: with an invariant body XLA
+            # hoists the whole apply out of the loop (measured — the first
+            # round-5 sweep reported a 10x-inflated 9.7k img/s this way)
+            p = dataclasses.replace(
+                packed,
+                patches=packed.patches
+                * (1.0 + i.astype(packed.patches.dtype) * 1e-6),
+            )
+            out = model.apply(params, p, train=False)
+            return acc + jnp.sum(out.astype(jnp.float32))
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     s = _measure(loop, params, packed) / iters
-    step = lambda params, packed: model.apply(params, packed, train=False)
-    mfu = _mfu(step, (params, packed), s)
+    # analytic model FLOPs (same convention as tools/bench_navit_train.py):
+    # the XLA probe counts DENSE attention over the zero-padded 2048-token
+    # packs (measured 8.3 TFLOP -> a nonsense 341% "MXU"), while the flash
+    # kernel tile-skips padding; count projections over real tokens and
+    # block-diagonal dots at true per-segment lengths instead
+    ids = np.asarray(packed.image_ids)
+    n_tok = int((ids >= 0).sum())
+    seg_lengths = [
+        int((ids[g] == i).sum())
+        for g in range(ids.shape[0])
+        for i in range(packed.max_images)
+        if (ids[g] == i).any()
+    ]
+    dim, mlp_dim, depth = 768, 3072, 12
+    proj = 2 * n_tok * dim * dim * 4
+    ff = 2 * n_tok * dim * mlp_dim * 2
+    dots = sum(2 * l * l * dim * 2 for l in seg_lengths)
+    flops = depth * (proj + ff + dots)
+    mfu = f", {flops / 1e9:.1f} GFLOP/step, {flops / s / (_PEAK_TFLOPS * 1e12) * 100:.1f}% MXU (analytic)"
     print(f"navit_packed  {n_img} var-res imgs/step: {n_img / s:.0f} img/s, "
           f"{s * 1e3:.2f} ms/step{mfu}")
 

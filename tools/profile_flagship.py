@@ -27,11 +27,18 @@ import jax
 import jax.numpy as jnp
 
 
-def _flagship_forward(batch=128, iters=30):
+def _flagship_forward(batch=128, iters=30, vitl=False):
     from vit_pytorch_tpu import ViT
 
-    model = ViT(image_size=224, patch_size=16, num_classes=1000, dim=768,
-                depth=12, heads=12, mlp_dim=3072)
+    if vitl:
+        # ViT-L/16 @224 bs=64 — the VERDICT r4 #5 attribution target
+        # (PERF_NOTES "ViT-L width": 65.7% of roofline on the two-step path)
+        model = ViT(image_size=224, patch_size=16, num_classes=1000,
+                    dim=1024, depth=24, heads=16, mlp_dim=4096)
+        batch = 64
+    else:
+        model = ViT(image_size=224, patch_size=16, num_classes=1000, dim=768,
+                    depth=12, heads=12, mlp_dim=3072)
     rng = jax.random.PRNGKey(0)
     img = jax.random.normal(rng, (batch, 3, 224, 224), jnp.bfloat16)
     params = model.init(rng, img[:1].astype(jnp.float32))
@@ -176,6 +183,8 @@ def analyze(logdir: str, top: int = 25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--vitl", action="store_true",
+                    help="profile ViT-L/16 @224 bs=64 instead of ViT-B")
     ap.add_argument("--logdir", default="/tmp/vit_flagship_trace")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--analyze-only", action="store_true",
@@ -183,7 +192,10 @@ def main():
     args = ap.parse_args()
 
     if not args.analyze_only:
-        run, _ = _flagship_train() if args.train else _flagship_forward()
+        run, _ = (
+            _flagship_train() if args.train
+            else _flagship_forward(vitl=args.vitl)
+        )
         run()  # compile + warm
         run()
         with jax.profiler.trace(args.logdir):
