@@ -1,17 +1,21 @@
 """A/B the per-head-bias short-attention kernel vs the XLA composite on the
 windowed-attention models (VERDICT r4 #2).
 
+RESULT (v5e, 2026-08-19): the short kernel LOSES 2.7-6x at every 49-token
+window shape and ties only at LeViT's n=196 — the auto-route knob was
+removed and windowed shapes keep XLA (docs/PERF_NOTES.md round 5).  This
+harness remains so the decision can be re-measured on new hardware: the
+kernel arm (WINDOW_ARM=1 in the child env) patches the dispatcher to pass
+use_flash=True for per-head-bias calls BEFORE the models from-import it.
+
 Two levels:
 
 1. micro — `dot_product_attention` on the exact (b·windows, h, n, d) shapes
-   + (h, n, n) rel-pos bias each model feeds the dispatcher, XLA vs the
-   short kernel (`VIT_TPU_WINDOW_KERNEL=1` opts per-head-bias windowed
-   shapes in, ops/attention.py).
+   + (h, n, n) rel-pos bias each model feeds the dispatcher.
 2. end-to-end — MaxViT / LeViT / CrossFormer / RegionViT full forwards at
-   their README configs, same knob.
+   their README configs.
 
-The knob is read at TRACE time, so each arm runs in a subprocess (same
-pattern as tools/bench_zoo.py).
+Each arm runs in a subprocess (same pattern as tools/bench_zoo.py).
 
 Usage: python tools/bench_window_kernel.py            # both arms, all
        SMOKE=1 ... (tiny shapes, CPU; a code-path check, not a measurement)
@@ -29,6 +33,31 @@ import jax.numpy as jnp
 
 SMOKE = bool(int(os.environ.get("SMOKE", "0")))
 INNER = 2 if SMOKE else 20
+ARM = os.environ.get("WINDOW_ARM", "0")
+
+
+def _maybe_force_kernel_arm():
+    """WINDOW_ARM=1: route per-head-bias shapes to the short kernel by
+    wrapping the dispatcher (must run before model modules from-import it)."""
+    if ARM != "1":
+        return
+    from vit_pytorch_tpu.ops import attention as attn_mod
+
+    orig = attn_mod.dot_product_attention
+
+    def forced(q, k, v, *args, **kw):
+        bias = kw.get("bias")
+        if (
+            bias is not None
+            and getattr(bias, "ndim", 0) == 3
+            and kw.get("use_flash") is None
+            and not kw.get("return_attn")
+            and kw.get("dropout_rate", 0.0) == 0.0
+        ):
+            kw["use_flash"] = True
+        return orig(q, k, v, *args, **kw)
+
+    attn_mod.dot_product_attention = forced
 
 # (name, b_eff, heads, n, d) — b_eff = batch × windows as each model
 # flattens before attention.  Model/README-config derivations in comments.
@@ -83,8 +112,7 @@ def micro(name, b, h, n, d):
         return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
 
     s = _measure(loop, q, k, v, bias) / INNER
-    knob = os.environ.get("VIT_TPU_WINDOW_KERNEL", "0")
-    print(f"micro {name:16s} kernel={knob}: {s * 1e3:.3f} ms/call "
+    print(f"micro {name:16s} kernel={ARM}: {s * 1e3:.3f} ms/call "
           f"(b={b} h={h} n={n} d={d})")
 
 
@@ -106,9 +134,8 @@ def _fwd_model(name, model, x):
         return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
 
     s = _measure(loop, params, x) / INNER
-    knob = os.environ.get("VIT_TPU_WINDOW_KERNEL", "0")
     b = x.shape[0]
-    print(f"e2e   {name:16s} kernel={knob}: {b / s:.0f} img/s, "
+    print(f"e2e   {name:16s} kernel={ARM}: {b / s:.0f} img/s, "
           f"{s * 1e3:.2f} ms/step (bs={b})")
 
 
@@ -148,6 +175,7 @@ E2E = ["max_vit", "levit", "crossformer", "regionvit"]
 def main():
     if len(sys.argv) > 1:
         # child: one arm of one target
+        _maybe_force_kernel_arm()
         kind, target = sys.argv[1], sys.argv[2]
         if kind == "micro":
             spec = next(s for s in MICRO_SHAPES if s[0] == target)
@@ -156,8 +184,8 @@ def main():
             e2e(target)
         return
 
-    env0 = dict(os.environ, VIT_TPU_WINDOW_KERNEL="0")
-    env1 = dict(os.environ, VIT_TPU_WINDOW_KERNEL="1")
+    env0 = dict(os.environ, WINDOW_ARM="0")
+    env1 = dict(os.environ, WINDOW_ARM="1")
     for spec in MICRO_SHAPES:
         for env in (env0, env1):
             r = subprocess.run(

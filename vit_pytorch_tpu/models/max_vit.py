@@ -149,8 +149,9 @@ class WindowAttention(nn.Module):
         idx = rel_pos_indices(w)
         bias = table[idx].transpose(2, 0, 1)  # (h, w², w²)
 
-        # unified dispatcher: XLA fused attention by default; the per-head
-        # bias qualifies for the Pallas short kernel (VIT_TPU_WINDOW_KERNEL)
+        # unified dispatcher: XLA fused attention (measured final for
+        # windowed shapes — PERF_NOTES round 5; explicit use_flash=True
+        # still routes the per-head bias to the Pallas short kernel)
         out = dot_product_attention(
             q,
             k,

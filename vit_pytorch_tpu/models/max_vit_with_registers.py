@@ -60,8 +60,8 @@ class RegisterWindowAttention(nn.Module):
         idx = np.pad(idx, ((r, 0), (r, 0)), constant_values=num_rel)
         bias = table[idx].transpose(2, 0, 1)  # (h, r+w², r+w²)
 
-        # unified dispatcher: per-head bias qualifies for the Pallas short
-        # kernel under VIT_TPU_WINDOW_KERNEL (same routing as max_vit.py)
+        # unified dispatcher: XLA fused attention (measured final for
+        # windowed shapes — PERF_NOTES round 5; same routing as max_vit.py)
         out = dot_product_attention(
             q,
             k,

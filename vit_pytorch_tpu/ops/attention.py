@@ -222,19 +222,20 @@ def dot_product_attention(
         # inside a fusion); the Pallas kernels win for long / packed sequences
         # where the materialized matrix would be HBM-bound (measured on v5e:
         # n=197 XLA ≈ 1 ms/layer fused vs 2.2 ms pallas; n=2048 segs flash ≫).
-        # VIT_TPU_WINDOW_KERNEL=1 opts per-head-bias windowed shapes into the
-        # short kernel (A/B knob, docs/PERF_NOTES.md round 4).  NOTE: read at
-        # TRACE time — toggling it after a function is jit-compiled has no
-        # effect until the cache entry is dropped (new shapes / jax.clear_caches).
-        window_opt_in = (
-            per_head_bias
-            and dropout_rate == 0.0
-            and os.environ.get("VIT_TPU_WINDOW_KERNEL", "0") == "1"
-        )
+        # Per-head-bias WINDOWED shapes (MaxViT/LeViT/CrossFormer/RegionViT
+        # rel-pos tables) auto-route to XLA, and that is FINAL by
+        # measurement, not default: the round-5 A/B
+        # (tools/bench_window_kernel.py, v5e 2026-08-19) ran the short
+        # kernel on every windowed model's exact shapes and it lost 2.7-6x
+        # at 49-token windows (e.g. MaxViT e2e 1382 -> 667 img/s,
+        # CrossFormer 2252 -> 368) and tied only at LeViT's n=196 — tiny
+        # window matrices stay inside XLA fusions while a pallas_call pays
+        # grid setup per (group, window) step.  Explicit use_flash=True
+        # still honors the caller.  docs/PERF_NOTES.md round 5.
         use_flash = (
             kernel_ok
             and on_tpu()
-            and (m >= 1024 or q_segment_ids is not None or window_opt_in)
+            and (m >= 1024 or q_segment_ids is not None)
         )
 
     if use_flash and kernel_ok:
