@@ -79,3 +79,14 @@ def test_short_attention_vmem_fallback():
     got = short_attention(q, k, v)
     want = xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_default_blocks_adaptive():
+    """Block-size policy (PERF_NOTES round 5): env override wins; 1024 when
+    it divides the sequence (measured +9.3% at 2048-token packs), else 512."""
+    from vit_pytorch_tpu.ops.flash_attention import default_blocks
+
+    assert default_blocks(2048, 2048) == (1024, 1024)
+    assert default_blocks(1024, 4096) == (1024, 1024)
+    assert default_blocks(197, 197) == (512, 512)
+    assert default_blocks(1536, 2048) == (512, 1024)

@@ -62,7 +62,12 @@ def bench(heads, dim_head):
 
 
 def main():
-    for heads, dim_head in [(12, 64), (6, 128)]:
+    # same inner dim (768) and total FLOPs in every arm; only the per-head
+    # attention-dot depth / softmax-VPU share changes
+    specs = [(12, 64), (6, 128)]
+    if "--trend" in sys.argv:
+        specs = [(24, 32)] + specs + [(3, 256)]
+    for heads, dim_head in specs:
         bench(heads, dim_head)
 
 

@@ -141,8 +141,8 @@ def main(n_images=120, max_seq=2048, iters=5):
         hw = f", hw {flops / iters / s / PEAK * 100:.1f}%"
     except Exception:
         pass
-    bq = os.environ.get("VIT_TPU_FLASH_BLOCK_Q", "512")
-    bk = os.environ.get("VIT_TPU_FLASH_BLOCK_K", "512")
+    bq = os.environ.get("VIT_TPU_FLASH_BLOCK_Q", "adaptive")
+    bk = os.environ.get("VIT_TPU_FLASH_BLOCK_K", "adaptive")
     print(
         f"navit_train  {n_images} imgs / {b} packs×{max_seq} (block {bq}x{bk}): "
         f"{n_images / s:.0f} img/s, {n_tok / s / 1e3:.1f}k tok/s, "

@@ -34,17 +34,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# 512×512 measured best on v5e for packed-NaViT shapes (256 costs 1.6×,
-# docs/PERF_NOTES.md); env overrides exist for hardware sweeps only
+# Block-size policy (v5e sweep at 16×2048-token NaViT-B training packs,
+# docs/PERF_NOTES.md round 5): 256→503 ms, 512→345 ms, 1024→316 ms/step;
+# non-dividing sizes (384/768) pad the sequence and OOM'd, ≥2048 failed to
+# compile.  Default: 1024 when it divides the sequence, else 512.
+# Env overrides exist for hardware sweeps only.
 
 
-def _env_block(name: str, default: int) -> int:
+def _env_block(name: str):
     """Validated block-size env override: tile masking assumes positive
     multiples of 128, and a malformed value would otherwise crash deep
-    inside a kernel trace, far from the setting."""
+    inside a kernel trace, far from the setting.  Returns None when unset
+    (adaptive per-shape default applies)."""
     raw = os.environ.get(name)
     if raw is None:
-        return default
+        return None
     try:
         val = int(raw)
     except ValueError:
@@ -56,8 +60,18 @@ def _env_block(name: str, default: int) -> int:
     return val
 
 
-DEFAULT_BLOCK_Q = _env_block("VIT_TPU_FLASH_BLOCK_Q", 512)
-DEFAULT_BLOCK_K = _env_block("VIT_TPU_FLASH_BLOCK_K", 512)
+DEFAULT_BLOCK_Q = _env_block("VIT_TPU_FLASH_BLOCK_Q")
+DEFAULT_BLOCK_K = _env_block("VIT_TPU_FLASH_BLOCK_K")
+
+
+def default_blocks(n: int, m: int):
+    """(block_q, block_k) for a (n, m) attention problem: the env override
+    wins; otherwise 1024 where it divides the sequence (measured +9.3% at
+    2048-token packs), else the 512 all-rounder.  One definition shared by
+    flash_attention and flash_dropout_masks so mask replay stays aligned."""
+    bq = DEFAULT_BLOCK_Q or (1024 if n % 1024 == 0 else 512)
+    bk = DEFAULT_BLOCK_K or (1024 if m % 1024 == 0 else 512)
+    return bq, bk
 
 _NEG_INF = -1e30
 _LANES = 128
@@ -882,11 +896,15 @@ _flash_attention_core.defvjp(_fwd, _bwd)
 
 def flash_dropout_masks(
     seed, b: int, h: int, n: int, m: int, rate: float,
-    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None, block_k: Optional[int] = None,
 ):
     """Replay the flash kernels' per-tile dropout keep-masks (TPU only) —
     equivalence testing: compose with the XLA reference and compare against
     the kernel with the same seed.  Returns (b, h, n, m) int32 0/1."""
+    if block_q is None or block_k is None:
+        dq, dk = default_blocks(n, m)
+        block_q = dq if block_q is None else block_q
+        block_k = dk if block_k is None else block_k
     # mirror _prep's block shrinking exactly — tile ids must line up
     bq = min(block_q, _round_up(n, 128))
     bk = min(block_k, _round_up(m, 128))
@@ -926,8 +944,8 @@ def flash_attention(
     causal: bool = False,
     dropout_rate: float = 0.0,
     dropout_seed=None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Flash attention.  q: (b, h, n, d), k/v: (b, h, m, d) → (b, h, n, d).
@@ -948,6 +966,10 @@ def flash_attention(
     rematerialization that cannot replay the masks)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if block_q is None or block_k is None:
+        dq, dk = default_blocks(q.shape[-2], k.shape[-2])
+        block_q = dq if block_q is None else block_q
+        block_k = dk if block_k is None else block_k
     if interpret is None:
         from .attention import on_tpu
 
