@@ -164,3 +164,35 @@ def test_attention_module_residual_kwarg():
     plain = attn.apply(params, x) + x
     folded = attn.apply(params, x, residual=x)
     np.testing.assert_allclose(np.asarray(folded), np.asarray(plain), atol=1e-6)
+
+
+def test_fused_block_vitl_width():
+    """dim=1024 / heads=16 — the ViT-L width newly admitted by the 16 MB
+    attention-block gate (PERF_NOTES round 5: +22.8% over pure XLA on
+    hardware).  Tiny n keeps the interpret run fast; the gate itself is
+    shape-exact at n=197 (see test below)."""
+    from vit_pytorch_tpu.ops.fused_block import fused_block_supported
+
+    h, d = 16, 64
+    dim = h * d
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (1, 9, dim), jnp.float32)
+    res = jax.random.normal(ks[1], (1, 9, dim), jnp.float32)
+    w_qkv = jax.random.normal(ks[2], (dim, 3 * dim), jnp.float32) * 0.03
+    w_out = jax.random.normal(ks[3], (dim, dim), jnp.float32) * 0.03
+    lns = jnp.ones((dim,), jnp.float32)
+    lnb = jnp.zeros((dim,), jnp.float32)
+    want = _xla_reference(
+        x, res, w_qkv, None, w_out, None, lns, lnb,
+        scale=d**-0.5, eps=1e-5, heads=h, dim_head=d,
+    )
+    got = fused_attention_block(
+        x, res, w_qkv, w_out, lns, lnb, heads=h, dim_head=d, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    # the production gate admits ViT-L (16 MB ceiling, estimate ~13.1 MB)
+    # and still rejects ViT-H width (~19 MB) until measured
+    assert fused_block_supported((64, 197, 1024), jnp.bfloat16, 16, 64, 1024)
+    assert not fused_block_supported((64, 197, 1280), jnp.bfloat16, 16, 80, 1280)

@@ -1,16 +1,13 @@
-"""Round-3 probe: does the whole-layer fused kernel pay off at ViT-L width?
+"""ViT-L/16 kernel-tier arms (round-3 probe, re-attributed in round 5).
 
-The forward gate (`whole_layer_supported`) is calibrated to configs proven
-on hardware.  ViT-L/16 @224 (dim=1024, heads=16, mlp=4096, n=197)
-estimates ~35 MB by `_vmem_bytes_whole` — over the ViT-B-calibrated
-20.75 MB ceiling but comfortably under the kernel's 64 MB scoped-vmem
-budget and the 128 MB physical VMEM.  This probe raises the ceiling
-in-process and measures the fused path vs the two-step fallback at model
-level.
+Round 5's device trace showed the round-3 "fallback" arm was actually
+PURE XLA — the attention-block kernel's own 12 MB gate rejected dim=1024
+alongside the whole-layer gate.  Measuring the real attn-kernel + XLA-FF
+arm won +22.8% (1,302 vs 1,060 img/s), so the production gate now admits
+ViT-L (16 MB, ops/fused_block.py).  Mode table in main().
 
 Run on the TPU:
-  python tools/bench_vitl.py fused      # raised ceiling, whole-layer path
-  python tools/bench_vitl.py fallback   # attn kernel + XLA FF (today's default)
+  python tools/bench_vitl.py [default|xla|attn|fused]
 """
 
 import os
@@ -29,13 +26,28 @@ V5E_PEAK_TFLOPS = 197.0
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "fused"
+    mode = sys.argv[1] if len(sys.argv) > 1 else "default"
     from vit_pytorch_tpu import ViT
     from vit_pytorch_tpu.ops import fused_block
 
+    # Modes (round-5 history in PERF_NOTES "ViT-L"):
+    #   default    — production path.  Since round 5 the 16 MB attention-
+    #                block gate admits dim=1024, so this is attn kernel +
+    #                XLA FF (measured 1,295 img/s, 80.5% roofline).
+    #   xla        — force pure XLA (the pre-round-5 production behavior,
+    #                1,058-1,060 img/s; what round 3 mislabeled "two-step
+    #                fallback": the old 12 MB gate silently rejected ViT-L).
+    #   attn       — raised 24 MB ceiling (admits the ips=2 in-kernel
+    #                layout; measured 1,302 — within noise of default).
+    #   fused      — whole-layer kernel at a trial 56 MB ceiling
+    #                (measured 1,056: the in-kernel FF loses what the
+    #                attention fusion gains at this width).
     if mode == "fused":
-        # trial ceiling: admit the ~35 MB ViT-L estimate (kernel budget 64 MB)
         fused_block._WHOLE_LAYER_EST_LIMIT = int(56 * 1024 * 1024)
+    elif mode == "attn":
+        fused_block._VMEM_LIMIT = int(24 * 1024 * 1024)
+    elif mode == "xla":
+        os.environ["VIT_TPU_DISABLE_FUSED"] = "1"
 
     model = ViT(
         image_size=224,

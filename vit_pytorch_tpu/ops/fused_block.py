@@ -36,9 +36,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM is ~16 MB/core; stay well under it (weights + activations + double
-# buffering).  Estimated in _vmem_bytes below.
-_VMEM_LIMIT = 12 * 1024 * 1024
+# Attention-block kernel admission ceiling, estimated in _vmem_bytes below.
+# The historical "16 MB VMEM wall" was XLA's scoped-vmem BUDGET, not the
+# 128 MB physical VMEM (PERF_NOTES round 4); the kernel sets a 64 MB budget,
+# so this limit is a measured-perf gate, not a hardware one.  16 MB admits
+# dim=1024 / ViT-L width (estimate ~13.1 MB), where the kernel measured
+# +22.8% end-to-end over pure XLA (1,302 vs 1,060 img/s @224 bs=64 —
+# PERF_NOTES round 5; the round-3 "two-step fallback" at ViT-L was actually
+# pure XLA because this gate rejected it).  Wider shapes (ViT-H dim=1280
+# estimates ~19 MB) stay on XLA until measured.
+_VMEM_LIMIT = 16 * 1024 * 1024
 
 _LOG2E = 1.4426950408889634  # log2(e)
 
