@@ -39,13 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 # Attention-block kernel admission ceiling, estimated in _vmem_bytes below.
 # The historical "16 MB VMEM wall" was XLA's scoped-vmem BUDGET, not the
 # 128 MB physical VMEM (PERF_NOTES round 4); the kernel sets a 64 MB budget,
-# so this limit is a measured-perf gate, not a hardware one.  16 MB admits
-# dim=1024 / ViT-L width (estimate ~13.1 MB), where the kernel measured
-# +22.8% end-to-end over pure XLA (1,302 vs 1,060 img/s @224 bs=64 —
-# PERF_NOTES round 5; the round-3 "two-step fallback" at ViT-L was actually
-# pure XLA because this gate rejected it).  Wider shapes (ViT-H dim=1280
-# estimates ~19 MB) stay on XLA until measured.
-_VMEM_LIMIT = 16 * 1024 * 1024
+# so this limit is a measured-perf gate, not a hardware one.  Every raise is
+# backed by an end-to-end model-level measurement on v5e (PERF_NOTES round 5):
+#   dim=1024 / ViT-L  (estimate 12.5 MB): +22.8% over pure XLA (1,295 vs
+#     1,060 img/s @224 bs=64) — raised 12 -> 16 MB
+#   dim=1280 / ViT-H  (estimate 19.9 MB): +39.7% over pure XLA (461 vs
+#     330 img/s, 78.3% vs 56.1% roofline, tools/bench_vith.py) — raised
+#     16 -> 21 MB
+# Wider shapes (ViT-g dim=1408 estimates 23.2 MB, ViT-G dim=1664 30.6 MB)
+# stay on XLA until measured.
+_VMEM_LIMIT = 21 * 1024 * 1024
 
 _LOG2E = 1.4426950408889634  # log2(e)
 
