@@ -506,7 +506,15 @@ def _pallas_forward(
         grid=(b // ips,),
         in_specs=in_specs,
         out_specs=batch_spec,
-        compiler_params=None if interpret else _fwd_compiler_params(),
+        # raise the scoped-VMEM budget past XLA's 16 MB default
+        # (xla_tpu_scoped_vmem_limit_kib): dim>=1408 (ViT-g) measures
+        # 17.97 MB actual scoped usage and OOMs under the default, while
+        # the gate itself is _VMEM_LIMIT — the budget is an upper bound,
+        # not an allocation, so admitted smaller shapes are unaffected
+        # (same approach as the whole-layer kernel's 64 MB budget below).
+        compiler_params=None
+        if interpret
+        else _fwd_compiler_params(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
 
