@@ -222,7 +222,37 @@ def test_fused_block_vith_width():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
-    # the gate admits ViT-H/14 @224 (n=257, estimate 19.9 MB) and still
-    # rejects ViT-g width (dim=1408, estimate 23.2 MB) until measured
+    # the gate admits ViT-H/14 @224 (n=257, estimate 19.9 MB)
     assert fused_block_supported((64, 257, 1280), jnp.bfloat16, 16, 80, 1280)
-    assert not fused_block_supported((64, 257, 1408), jnp.bfloat16, 16, 88, 1408)
+
+
+def test_fused_block_vitg_width():
+    """dim=1408 / heads=16 / dim_head=88 — the ViT-g width admitted by the
+    25 MB attention-block gate (PERF_NOTES round 5: +42.9% over pure XLA on
+    hardware, tools/bench_vitg.py).  Tiny n keeps the interpret run fast;
+    the gate itself is shape-exact at n=257 below."""
+    from vit_pytorch_tpu.ops.fused_block import fused_block_supported
+
+    h, d = 16, 88
+    dim = h * d
+    key = jax.random.PRNGKey(4)
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (1, 9, dim), jnp.float32)
+    res = jax.random.normal(ks[1], (1, 9, dim), jnp.float32)
+    w_qkv = jax.random.normal(ks[2], (dim, 3 * dim), jnp.float32) * 0.03
+    w_out = jax.random.normal(ks[3], (dim, dim), jnp.float32) * 0.03
+    lns = jnp.ones((dim,), jnp.float32)
+    lnb = jnp.zeros((dim,), jnp.float32)
+    want = _xla_reference(
+        x, res, w_qkv, None, w_out, None, lns, lnb,
+        scale=d**-0.5, eps=1e-5, heads=h, dim_head=d,
+    )
+    got = fused_attention_block(
+        x, res, w_qkv, w_out, lns, lnb, heads=h, dim_head=d, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    # the gate admits ViT-g/14 @224 (n=257, estimate 24.4 MB) and still
+    # rejects ViT-G width (dim=1664, estimate 32.1 MB) until measured
+    assert fused_block_supported((64, 257, 1408), jnp.bfloat16, 16, 88, 1408)
+    assert not fused_block_supported((64, 257, 1664), jnp.bfloat16, 16, 104, 1664)

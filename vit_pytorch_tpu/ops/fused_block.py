@@ -46,9 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 #   dim=1280 / ViT-H  (estimate 19.9 MB): +39.7% over pure XLA (461 vs
 #     330 img/s, 78.3% vs 56.1% roofline, tools/bench_vith.py) — raised
 #     16 -> 21 MB
-# Wider shapes (ViT-g dim=1408 estimates 23.2 MB, ViT-G dim=1664 30.6 MB)
-# stay on XLA until measured.
-_VMEM_LIMIT = 21 * 1024 * 1024
+#   dim=1408 / ViT-g  (estimate 24.4 MB at dim_head=88): +42.9% over pure
+#     XLA (290 vs 203 img/s @224 bs=64, 78.6% vs 54.9% roofline,
+#     tools/bench_vitg.py) — raised 21 -> 25 MB
+# ViT-G (dim=1664, estimate 32.1 MB) stays on XLA until measured.
+_VMEM_LIMIT = 25 * 1024 * 1024
 
 _LOG2E = 1.4426950408889634  # log2(e)
 
